@@ -1,0 +1,89 @@
+"""Dual-head DeepLab-v2/PSP segmenter.
+
+Rebuilds the reference production model (``uemda/models/Encoder.py:87-186``):
+ResNet encoder (OS16) -> optional affine-free instance norm on the last
+feature map -> twin heads (layer5/layer6, PPM or ASPP) -> in training return
+``(logits1, logits2, feat)`` at stride 16; in eval return the average of both
+heads' softmax upsampled to input resolution with align_corners=True
+(``Encoder.py:144-155``).
+
+Cascade mode feeds c4 to head1 and c5 to head2 (``Encoder.py:131-143``);
+single-head mode mirrors ``Encoder.py:156-165``.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from uemda_tpu.models.config import DeeplabV2Config, PPMConfig
+from uemda_tpu.models.heads import ASPPHead, PPMBilinear
+from uemda_tpu.models.resnet import ResNetEncoder
+from uemda_tpu.ops.resize import resize_bilinear
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch nn.InstanceNorm2d default: per-(sample, channel) over H,W,
+    affine=False, track_running_stats=False (``Encoder.py:118-123``)."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+
+
+class DeeplabV2(nn.Module):
+    config: DeeplabV2Config
+
+    def _make_head(self, name: str, fc_dim: Optional[int] = None):
+        cfg = self.config
+        if cfg.use_ppm:
+            ppm = cfg.ppm
+            if fc_dim is not None and fc_dim != ppm.fc_dim:
+                ppm = PPMConfig(
+                    num_classes=ppm.num_classes,
+                    fc_dim=fc_dim,
+                    use_aux=ppm.use_aux,
+                    pool_scales=ppm.pool_scales,
+                )
+            return PPMBilinear(ppm, name=name)
+        return ASPPHead(cfg.num_classes, cfg.aspp_dilations, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        in_hw = (x.shape[1], x.shape[2])
+        pyramid = ResNetEncoder(cfg.backbone, name="encoder")(x, train)
+
+        def eval_avg(logits_list):
+            ups = [
+                nn.softmax(resize_bilinear(l, in_hw, align_corners=True), axis=-1)
+                for l in logits_list
+            ]
+            return sum(ups) / len(ups)
+
+        if cfg.multi_layer:
+            if cfg.cascade:
+                feat1, feat2 = pyramid[-2], pyramid[-1]
+                if cfg.is_ins_norm:
+                    feat1 = instance_norm(feat1)
+                    feat2 = instance_norm(feat2)
+                x1 = self._make_head("layer5", fc_dim=feat1.shape[-1])(feat1, train)
+                x2 = self._make_head("layer6", fc_dim=feat2.shape[-1])(feat2, train)
+                if train:
+                    return x1, feat1, x2, feat2
+                return eval_avg([x1, x2])
+            feat = pyramid[-1]
+            if cfg.is_ins_norm:
+                feat = instance_norm(feat)
+            x1 = self._make_head("layer5")(feat, train)
+            x2 = self._make_head("layer6")(feat, train)
+            if train:
+                return x1, x2, feat
+            return eval_avg([x1, x2])
+
+        feat = pyramid[-1]
+        if cfg.is_ins_norm:
+            feat = instance_norm(feat)
+        x1 = self._make_head("cls_pred")(feat, train)
+        if train:
+            return x1, feat
+        return nn.softmax(resize_bilinear(x1, in_hw, align_corners=True), axis=-1)
