@@ -1,0 +1,117 @@
+"""Data layer: synthetic dataset round-trip, batch iterators, on-device
+augmentation semantics."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from uemda_tpu.datasets.augment import augment_batch, normalize
+from uemda_tpu.datasets.base import SegDataset, infinite_batches, sequential_batches
+from uemda_tpu.datasets.io import save_prob
+from uemda_tpu.datasets.meta import IsprsDA
+from uemda_tpu.datasets.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthds")
+    img_dir, ann_dir = make_synthetic_dataset(str(root), IsprsDA, n_train=6, n_val=2, hw=64)
+    return str(root), img_dir, ann_dir
+
+
+def test_dataset_id_labels_and_sup(synth):
+    root, img_dir, ann_dir = synth
+    ds = SegDataset(IsprsDA, img_dir, ann_dir, label_type="id", read_sup=True)
+    assert len(ds) == 6
+    item = ds.item(0)
+    assert item["image"].shape == (64, 64, 3)
+    assert item["label"].shape == (64, 64)
+    assert item["label"].min() >= 0 and item["label"].max() < 6
+    assert item["sup"].max() == 16  # boundary id for 64² / cell 16
+
+    batch = ds.batch([0, 1])
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["sup"].shape == (2, 64, 64)
+
+
+def test_infinite_batches_cycles_and_drops(synth):
+    _, img_dir, ann_dir = synth
+    ds = SegDataset(IsprsDA, img_dir, ann_dir)
+    it = infinite_batches(ds, batch_size=4, seed=1)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["image"].shape[0] == 4 and b2["image"].shape[0] == 4
+    names = [idx for idx, _ in sequential_batches(ds, 2)]
+    assert names == [[0, 1], [2, 3], [4, 5]]
+
+
+def test_prob_label_roundtrip(synth, tmp_path):
+    _, img_dir, _ = synth
+    prob_dir = tmp_path / "probs"
+    prob_dir.mkdir()
+    ds0 = SegDataset(IsprsDA, img_dir, None, label_type="none")
+    rng = np.random.default_rng(0)
+    for i in range(len(ds0)):
+        p = rng.random((64, 64, 6)).astype(np.float32)
+        save_prob(str(prob_dir / ds0.filename(i)), p)
+    ds = SegDataset(IsprsDA, img_dir, str(prob_dir), label_type="prob")
+    item = ds.item(0)
+    assert item["prob"].shape == (64, 64, 6)
+    # .pt cross-compat
+    torch.save(torch.zeros(6, 64, 64), str(prob_dir / "x.pt"))
+    from uemda_tpu.datasets.io import read_prob
+
+    assert read_prob(str(prob_dir / "x")).shape == (64, 64, 6)
+
+
+def test_normalize_matches_reference_semantics():
+    img = np.full((2, 4, 4, 3), 128.0, np.float32)
+    out = np.asarray(normalize(jnp.asarray(img), (120.0, 80.0, 80.0), (50.0, 40.0, 40.0)))
+    np.testing.assert_allclose(out[0, 0, 0], [(128 - 120) / 50, 48 / 40, 48 / 40], rtol=1e-6)
+    out_c = np.asarray(
+        normalize(jnp.asarray(img), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), clamp=True)
+    )
+    assert out_c.max() == 1.0
+
+
+def test_augment_batch_joint_and_shapes():
+    rng = np.random.default_rng(0)
+    b = {
+        "image": rng.random((4, 64, 64, 3)).astype(np.float32) * 255,
+        "label": rng.integers(0, 6, size=(4, 64, 64)).astype(np.int32),
+        "sup": rng.integers(0, 16, size=(4, 64, 64)).astype(np.int32),
+    }
+    out = augment_batch(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in b.items()},
+        (32, 32),
+        mean=(0, 0, 0),
+        std=(255, 255, 255),
+        mode="oneof",
+    )
+    assert out["image"].shape == (4, 32, 32, 3)
+    assert out["label"].shape == (4, 32, 32)
+    assert float(out["image"].max()) <= 1.0 + 1e-6
+
+
+def test_augment_is_joint_image_label():
+    """Label must undergo the same geometric transform as the image."""
+    # encode position in both image and label, many keys -> all transforms hit
+    hw = 8
+    ramp = np.arange(hw * hw, dtype=np.float32).reshape(hw, hw)
+    img = np.stack([ramp] * 3, -1)[None].repeat(16, 0)
+    lbl = ramp[None].astype(np.int32).repeat(16, 0)
+    out = augment_batch(
+        jax.random.key(3),
+        {"image": jnp.asarray(img), "label": jnp.asarray(lbl)},
+        (hw, hw),
+        mean=(0, 0, 0),
+        std=(1, 1, 1),
+        mode="compose",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["image"][..., 0]), np.asarray(out["label"]).astype(np.float32)
+    )

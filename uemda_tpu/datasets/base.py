@@ -1,0 +1,109 @@
+"""Dataset objects: file pairing + batch assembly (host side).
+
+TPU-first split of responsibilities vs the reference ``BaseData``/``DALoader``
+(``uemda/datasets/basedata.py``, ``uemda/datasets/daLoader.py``): the host
+only globs, decodes (cached) and stacks raw uint8 tiles; all augmentation
+(crop/flip/rot90/normalize) happens on device inside the jitted step
+(``uemda_tpu.datasets.augment``). An infinite shuffled iterator replaces
+ever's ``Iterator`` wrapper (``tools/train_src.py:20``).
+"""
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from uemda_tpu.datasets.io import (
+    RamCache,
+    list_images,
+    mask_path_for,
+    read_image,
+    read_mask,
+    read_prob,
+    read_sup,
+    sup_path_for,
+)
+from uemda_tpu.datasets.meta import DatasetMeta
+
+
+@dataclasses.dataclass
+class SegDataset:
+    """A split: images (+ optional hard masks, soft-prob masks, superpixels)."""
+
+    meta: DatasetMeta
+    image_dir: object  # str or list[str]
+    mask_dir: object = None  # str, list[str], or None
+    label_type: str = "id"  # 'id' | 'prob' | 'none'
+    read_sup: bool = False
+    cache: Optional[RamCache] = None
+
+    def __post_init__(self):
+        assert self.label_type in ("id", "prob", "none")
+        self.image_paths = list_images(self.image_dir)
+        if not self.image_paths:
+            raise FileNotFoundError(f"no images under {self.image_dir}")
+        mask_dirs = (
+            self.mask_dir
+            if isinstance(self.mask_dir, (list, tuple))
+            else [self.mask_dir]
+        )
+        self.mask_dir_single = next((m for m in mask_dirs if m), None)
+        if self.cache is None:
+            self.cache = RamCache()
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def filename(self, idx: int) -> str:
+        import os
+
+        return os.path.basename(self.image_paths[idx])
+
+    def item(self, idx: int) -> Dict[str, np.ndarray]:
+        path = self.image_paths[idx]
+        out: Dict[str, np.ndarray] = {
+            "image": self.cache.get(path, read_image).astype(np.float32)
+        }
+        if self.label_type == "id" and self.mask_dir_single:
+            mp = mask_path_for(path, self.mask_dir_single)
+            out["label"] = self.cache.get(
+                mp,
+                lambda p: read_mask(
+                    p, self.meta.offset, self.meta.num_classes, self.meta.ignore_label
+                ),
+            )
+        elif self.label_type == "prob" and self.mask_dir_single:
+            mp = mask_path_for(path, self.mask_dir_single)
+            base = mp.rsplit(".", 1)[0] if mp.endswith((".npy", ".pt")) else mp
+            out["prob"] = self.cache.get(base, read_prob)
+        if self.read_sup:
+            out["sup"] = self.cache.get(sup_path_for(path), read_sup)
+        return out
+
+    def batch(self, indices) -> Dict[str, np.ndarray]:
+        items = [self.item(int(i)) for i in indices]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def infinite_batches(
+    dataset: SegDataset, batch_size: int, seed: int = 0, drop_last: bool = True
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled epoch-cycling batch iterator (DALoader semantics:
+    RandomSampler + drop_last=True, ``daLoader.py:38-55``)."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    while True:
+        perm = rng.permutation(n)
+        stop = (n // batch_size) * batch_size if drop_last else n
+        for i in range(0, max(stop, batch_size), batch_size):
+            idx = perm[i : i + batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+            yield dataset.batch(idx)
+
+
+def sequential_batches(dataset: SegDataset, batch_size: int = 1):
+    """Eval-order iterator (SequentialSampler, batch 1 in the reference)."""
+    for i in range(0, len(dataset), batch_size):
+        idx = list(range(i, min(i + batch_size, len(dataset))))
+        yield idx, dataset.batch(idx)
