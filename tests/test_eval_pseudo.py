@@ -1,0 +1,92 @@
+"""evaluate_dataset + generate_pseudo_labels end-to-end on the synthetic
+dataset with a tiny real model; checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uemda_tpu.datasets.base import SegDataset
+from uemda_tpu.datasets.meta import IsprsDA
+from uemda_tpu.datasets.synthetic import make_synthetic_dataset
+from uemda_tpu.infer.evaluate import evaluate_dataset
+from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
+from uemda_tpu.models import BackboneConfig, DeeplabV2, DeeplabV2Config
+from uemda_tpu.models.config import PPMConfig
+from uemda_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+C = 6
+MEAN = (128.0, 128.0, 128.0)
+STD = (64.0, 64.0, 64.0)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    img_dir, ann_dir = make_synthetic_dataset(str(root), IsprsDA, n_train=5, n_val=3, hw=64)
+    cfg = DeeplabV2Config(
+        backbone=BackboneConfig(resnet_type="resnet18", output_stride=16),
+        multi_layer=True,
+        use_ppm=False,
+        ppm=PPMConfig(num_classes=C, fc_dim=512),
+        inchannels=512,
+        num_classes=C,
+        is_ins_norm=True,
+    )
+    model = DeeplabV2(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.ones((1, 32, 32, 3)), train=False
+    )
+    return str(root), model, variables
+
+
+def test_evaluate_dataset(setup, tmp_path):
+    root, model, variables = setup
+    import os
+
+    ds = SegDataset(
+        IsprsDA, os.path.join(root, "img_dir", "val"),
+        os.path.join(root, "ann_dir", "val"),
+    )
+    summary, miou = evaluate_dataset(
+        model, variables, ds, MEAN, STD, tile=(32, 32), batch_size=2,
+        vis_dir=str(tmp_path / "vis"), compute_dtype="float32",
+    )
+    assert 0.0 <= miou <= 1.0
+    assert len(summary["iou"]) == C - 1  # BgClutter dropped
+    assert (tmp_path / "vis" / "tile_000.png").exists()
+
+
+def test_generate_pseudo_labels_and_ssl_dataset(setup, tmp_path):
+    root, model, variables = setup
+    import os
+
+    img_dir = os.path.join(root, "img_dir", "train")
+    ds = SegDataset(IsprsDA, img_dir, None, label_type="none")
+    out_dir = str(tmp_path / "pseudo")
+    probs = generate_pseudo_labels(
+        model, variables, ds, MEAN, STD, out_dir=out_dir, tile=(32, 32),
+        tta=True, batch_size=2, color_dir=str(tmp_path / "color"),
+        compute_dtype="float32",
+    )
+    assert len(probs) == 5
+    p = next(iter(probs.values()))
+    assert p.shape == (64, 64, C)
+    np.testing.assert_allclose(p.sum(-1), np.ones((64, 64)), atol=2e-2)
+    # stage-3 dataset reads the saved probs + superpixels
+    ds3 = SegDataset(IsprsDA, img_dir, out_dir, label_type="prob", read_sup=True)
+    item = ds3.item(0)
+    assert item["prob"].shape == (64, 64, C)
+    assert item["sup"].shape == (64, 64)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    _, model, variables = setup
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, variables)
+    zeros = jax.tree.map(jnp.zeros_like, variables)
+    restored = load_checkpoint(path, zeros)
+    l0 = jax.tree.leaves(variables)[0]
+    r0 = jax.tree.leaves(restored)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))

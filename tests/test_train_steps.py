@@ -1,0 +1,154 @@
+"""Train-step integration: all three stage steps run jitted, update state,
+and stage-1 actually learns the synthetic mapping; data-parallel execution
+over the virtual 8-device mesh produces the same math as single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uemda_tpu.datasets.meta import IsprsDA
+from uemda_tpu.models import BackboneConfig, DeeplabV2, DeeplabV2Config
+from uemda_tpu.models.config import PPMConfig
+from uemda_tpu.parallel import make_mesh, shard_batch, shard_pytree_replicated
+from uemda_tpu.train.lr import poly_warmup_schedule
+from uemda_tpu.train.optim import make_optimizer
+from uemda_tpu.train.state import create_train_state
+from uemda_tpu.train.steps import (
+    StageHParams,
+    make_align_step,
+    make_init_proto_step,
+    make_src_step,
+    make_ssl_step,
+)
+
+C = 6
+HW = 64
+
+
+def _tiny_model():
+    cfg = DeeplabV2Config(
+        backbone=BackboneConfig(resnet_type="resnet18", output_stride=16),
+        multi_layer=True,
+        use_ppm=False,  # ASPP head: cheaper to compile
+        ppm=PPMConfig(num_classes=C, fc_dim=512),
+        inchannels=512,
+        num_classes=C,
+        is_ins_norm=True,
+    )
+    model = DeeplabV2(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.ones((1, HW, HW, 3)), train=False
+    )
+    return model, variables
+
+
+def _hp(**kw):
+    kw.setdefault("class_num", C)
+    kw.setdefault("crop", (HW, HW))
+    kw.setdefault("src_std", (64.0, 64.0, 64.0))
+    kw.setdefault("src_mean", (128.0, 128.0, 128.0))
+    kw.setdefault("tgt_std", (64.0, 64.0, 64.0))
+    kw.setdefault("tgt_mean", (128.0, 128.0, 128.0))
+    kw.setdefault("compute_dtype", "float32")  # CPU tests
+    kw.setdefault("max_segments", 32)
+    return StageHParams(**kw)
+
+
+def _state(variables, feat_channels=512, stop=100):
+    tx = make_optimizer(poly_warmup_schedule(1e-2, stop))
+    return create_train_state(variables, tx, C, feat_channels=feat_channels)
+
+
+def _batches(seed=0, b=4):
+    rng = np.random.default_rng(seed)
+    label = np.kron(
+        rng.integers(0, C, size=(b, HW // 16, HW // 16)),
+        np.ones((16, 16), np.int64),
+    ).astype(np.int32)
+    palette = np.linspace(40, 215, C)[:, None] * np.array([[1.0, 0.8, 0.6]])
+    img = (palette[label] + rng.normal(0, 8, label.shape + (3,))).astype(np.float32)
+    sup = np.kron(
+        np.arange(16).reshape(4, 4), np.ones((16, 16), np.int64)
+    )[None].repeat(b, 0).astype(np.int32)
+    prob = np.full((b, HW, HW, C), 1.0 / C, np.float32)
+    return (
+        {"image": jnp.asarray(img), "label": jnp.asarray(label)},
+        {"image": jnp.asarray(img[::-1].copy()), "sup": jnp.asarray(sup)},
+        {
+            "image": jnp.asarray(img[::-1].copy()),
+            "prob": jnp.asarray(prob),
+            "sup": jnp.asarray(sup),
+        },
+    )
+
+
+def test_src_step_learns():
+    model, variables = _tiny_model()
+    state = _state(variables)
+    step = make_src_step(model, _hp(align_domain=True))
+    bs, bt, _ = _batches()
+    losses = []
+    for i in range(8):
+        state, m = step(state, bs, {"image": bt["image"]}, jax.random.key(i))
+        losses.append(float(m["loss_seg"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_align_step_updates_prototypes():
+    model, variables = _tiny_model()
+    state = _state(variables)
+    step = make_align_step(model, _hp(refine=True, refine_mode="all"))
+    bs, bt, _ = _batches(seed=1)
+    p0 = np.asarray(state.aligner.prototypes).copy()
+    state, m = step(state, bs, bt, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss_align"]) > 0
+    assert not np.allclose(np.asarray(state.aligner.prototypes), p0)
+
+
+@pytest.mark.parametrize("target_loss", ["uvem", "ups", "ohem", "focal", "ghm", "ce"])
+def test_ssl_step_all_target_losses(target_loss):
+    model, variables = _tiny_model()
+    state = _state(variables)
+    step = make_ssl_step(
+        model, _hp(target_loss=target_loss, refine=True, balance_target=False)
+    )
+    bs, _, bt = _batches(seed=2)
+    state, m = step(state, bs, bt, jax.random.key(0))
+    assert np.isfinite(float(m["loss"])), target_loss
+
+
+def test_init_proto_step_accumulates():
+    model, variables = _tiny_model()
+    state = _state(variables)
+    step = make_init_proto_step(model, _hp())
+    bs, _, _ = _batches(seed=3)
+    state = step(state, bs, jax.random.key(0))
+    assert float(state.aligner.data_cnt.sum()) > 0
+
+
+def test_data_parallel_mesh_matches_single_device():
+    model, variables = _tiny_model()
+    hp = _hp(align_domain=False)
+    step = make_src_step(model, hp)
+    bs, bt, _ = _batches(seed=4, b=8)
+
+    # independent buffer copies — the step donates its input state
+    state1 = _state(jax.tree.map(jnp.copy, variables))
+    state2 = _state(jax.tree.map(jnp.copy, variables))
+
+    state1, m1 = step(state1, bs, {"image": bt["image"]}, jax.random.key(0))
+
+    mesh = make_mesh(8)
+    state2 = shard_pytree_replicated(mesh, state2)
+    sbs = shard_batch(mesh, bs)
+    sbt = shard_batch(mesh, {"image": bt["image"]})
+    state2, m2 = step(state2, sbs, sbt, jax.random.key(0))
+    assert len(jax.tree.leaves(state2.params)[0].sharding.device_set) == 8
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    l1 = jax.tree.leaves(state1.params)[0]
+    l2 = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-3, atol=1e-5)

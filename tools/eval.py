@@ -1,0 +1,65 @@
+"""Checkpoint evaluation CLI (rebuild of reference ``tools/eval.py:15-56``):
+sliding-window mIoU on the val or test split with optional x8 TTA."""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+
+from uemda_tpu.config import load_config
+from uemda_tpu.datasets.base import SegDataset
+from uemda_tpu.infer.evaluate import evaluate_dataset
+from uemda_tpu.train.checkpoints import load_checkpoint
+from uemda_tpu.train.loop import build_model, init_variables
+from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate a checkpoint.")
+    parser.add_argument("--config-path", type=str, default="2vaihingen")
+    parser.add_argument("--ckpt-path", type=str, required=True,
+                        help=".msgpack variables or reference torch .pth")
+    parser.add_argument("--test", type=str2bool, default=0,
+                        help="use TEST split instead of EVAL")
+    parser.add_argument("--tta", type=str2bool, default=0)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--vis", type=str2bool, default=1)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config_path)
+    run_dir = cfg.snapshot_dir
+    os.makedirs(run_dir, exist_ok=True)
+    logger = get_console_file_logger("eval", run_dir)
+    logging_args(args, logger)
+
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+    if args.ckpt_path.endswith((".pth", ".pt")):
+        from uemda_tpu.models.port_torch import load_torch_state_dict, port_deeplabv2
+
+        variables = port_deeplabv2(load_torch_state_dict(args.ckpt_path))
+    else:
+        variables = load_checkpoint(args.ckpt_path, variables)
+
+    split = cfg.test if args.test else cfg.val
+    dataset = SegDataset(cfg.meta, list(split.image_dir), list(split.mask_dir)[0])
+    vis_dir = (
+        os.path.join(run_dir, f"vis-{os.path.basename(args.ckpt_path)}")
+        if args.vis
+        else None
+    )
+    summary, miou = evaluate_dataset(
+        model, variables, dataset, split.mean, split.std, tile=cfg.crop,
+        tta=bool(args.tta),
+        batch_size=args.batch_size or split.batch_size,
+        vis_dir=vis_dir, logger=logger,
+    )
+    print(json.dumps({"miou": miou, **{k: summary[k] for k in ("mf1", "mprecision", "mrecall")}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Full 5-step UemDA pipeline driver.
+
+Rebuild of ``runs/uemda/run_2vaihingen.sh:3-27`` as one orchestrated CLI
+(the reference chains 5 OS processes glued by .pth files):
+
+  1. train_src      --align-domain 1
+  2. init_prototypes --stage 1
+  3. train_align_uem --align-domain 1 --refine-label 1
+  4. init_prototypes --stage 2
+  5. train_ssl_uem   --gen 1 --refine-label 1 --lt uvem
+
+Each step here is a subprocess too (clean XLA state per stage), but the
+checkpoints are msgpack and all stage flags are derived from one config.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+import subprocess
+import sys
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+
+def run(cmd, dry):
+    print("+", " ".join(cmd), flush=True)
+    if not dry:
+        subprocess.run(cmd, check=True)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Run the 3-stage pipeline.")
+    parser.add_argument("--config-path", type=str, default="2vaihingen")
+    parser.add_argument("--steps", type=str, default="1,2,3,4,5",
+                        help="comma-separated subset of pipeline steps")
+    parser.add_argument("--stage-steps", type=int, default=None,
+                        help="override steps for every training stage (smoke runs)")
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--pretrained", type=str, default=None)
+    parser.add_argument("--dry-run", action="store_true")
+    args = parser.parse_args()
+
+    from uemda_tpu.config import load_config
+
+    cfg = load_config(args.config_path)
+    log = cfg.snapshot_dir
+    tset = cfg.target_set
+    py = [sys.executable]
+    sel = set(int(s) for s in args.steps.split(","))
+    ov = (["--steps", str(args.stage_steps)] if args.stage_steps else [])
+    nd = (
+        ["--num-devices", str(args.num_devices)] if args.num_devices else []
+    )
+
+    if 1 in sel:
+        run(py + [f"{TOOLS}/train_src.py", "--config-path", args.config_path,
+                  "--align-domain", "1"]
+            + (["--pretrained", args.pretrained] if args.pretrained else [])
+            + ov + nd, args.dry_run)
+    if 2 in sel:
+        run(py + [f"{TOOLS}/init_prototypes.py", "--config-path", args.config_path,
+                  "--stage", "1",
+                  "--ckpt-model", f"{log}/src/{tset}_best.msgpack",
+                  "--ckpt-proto", f"{log}/src/prototypes_init.msgpack"],
+            args.dry_run)
+    if 3 in sel:
+        run(py + [f"{TOOLS}/train_align_uem.py", "--config-path", args.config_path,
+                  "--align-domain", "1", "--refine-label", "1",
+                  "--ckpt-model", f"{log}/src/{tset}_best.msgpack",
+                  "--ckpt-proto", f"{log}/src/prototypes_init.msgpack"]
+            + ov + nd, args.dry_run)
+    if 4 in sel:
+        run(py + [f"{TOOLS}/init_prototypes.py", "--config-path", args.config_path,
+                  "--stage", "2",
+                  "--ckpt-model", f"{log}/align/{tset}_best.msgpack",
+                  "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"],
+            args.dry_run)
+    if 5 in sel:
+        run(py + [f"{TOOLS}/train_ssl_uem.py", "--config-path", args.config_path,
+                  "--gen", "1", "--refine-label", "1", "--lt", "uvem",
+                  "--ckpt-model", f"{log}/align/{tset}_best.msgpack",
+                  "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"]
+            + ov + nd, args.dry_run)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Stage 1: supervised source training + optional CORAL domain alignment.
+
+CLI-compatible rebuild of the reference ``tools/train_src.py`` (lines
+43-172): same flags (--config-path, --align-domain, --ls, --bcs,
+--class-temp), same schedule semantics (NUM_STEPS = 1.5 x stage steps,
+warmup stage/20, eval every EVAL_EVERY with best-checkpoint tracking) — but
+the whole per-iteration body is one jitted TPU step and eval runs the
+batched slide predictor.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+
+import jax
+
+from uemda_tpu.config import load_config, snapshot_config
+from uemda_tpu.parallel import make_mesh
+from uemda_tpu.train.loop import (
+    LoopHooks,
+    build_model,
+    build_state,
+    default_hparams,
+    init_variables,
+    make_eval_hook,
+    make_source_iter,
+    make_target_iter,
+    run_training_loop,
+)
+from uemda_tpu.train.steps import make_src_step
+from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train on source (stage 1).")
+    parser.add_argument("--config-path", type=str, default="2vaihingen")
+    parser.add_argument("--align-domain", type=str2bool, default=0)
+    parser.add_argument("--ls", type=str, default="CrossEntropy",
+                        choices=["CrossEntropy", "OhemCrossEntropy"])
+    parser.add_argument("--bcs", type=str2bool, default=0,
+                        help="class balance for source")
+    parser.add_argument("--class-temp", type=float, default=2.0)
+    parser.add_argument("--pretrained", type=str, default=None,
+                        help="ported ImageNet backbone (.msgpack) or torch .pth")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="override STAGE1_STEPS")
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=2333)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config_path, snapshot_postfix="/src")
+    run_dir = cfg.snapshot_dir
+    os.makedirs(run_dir, exist_ok=True)
+    snapshot_config(cfg, run_dir)
+    logger = get_console_file_logger("train_src", run_dir)
+    logging_args(args, logger)
+
+    stop_steps = args.steps or cfg.stage1_steps
+    model = build_model(cfg, pretrained=args.pretrained)
+    variables = init_variables(model, cfg, seed=args.seed)
+    state = build_state(variables, cfg, stop_steps, balance_temp=args.class_temp,
+                        feat_channels=model.config.inchannels)
+
+    hp = default_hparams(
+        cfg,
+        align_domain=bool(args.align_domain),
+        source_loss="ohem" if args.ls == "OhemCrossEntropy" else "ce",
+        balance_source=bool(args.bcs),
+    )
+    step_fn = make_src_step(model, hp)
+
+    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    src_iter, _ = make_source_iter(cfg)
+    tgt_iter, _ = make_target_iter(cfg, label_type="none")
+    eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
+    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn, on_best=on_best)
+
+    run_training_loop(
+        state, step_fn, src_iter, tgt_iter, stop_steps, logger, hooks,
+        mesh=mesh, rng_seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""SSL with CutMix / ClassMix / DACS domain mixing.
+
+Rebuild of reference ``tools/train_ssl_mix.py:54-207``: pseudo labels are
+regenerated every GENE_EVERY steps over the full target split; each step
+mines hard labels from the stored soft labels and pastes source content into
+the target batch (on device) before the twin forwards + CE.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+
+from uemda_tpu.config import load_config, snapshot_config
+from uemda_tpu.datasets.base import SegDataset, infinite_batches
+from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
+from uemda_tpu.parallel import make_mesh
+from uemda_tpu.train.checkpoints import load_checkpoint
+from uemda_tpu.train.loop import (
+    LoopHooks,
+    build_model,
+    build_state,
+    default_hparams,
+    init_variables,
+    make_eval_hook,
+    make_source_iter,
+    run_training_loop,
+    variables_of,
+)
+from uemda_tpu.train.steps import make_mix_step
+from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SSL with domain mixing.")
+    parser.add_argument("--config-path", type=str, default="2vaihingen")
+    parser.add_argument("--ckpt-model", type=str, required=True)
+    parser.add_argument("--gen", type=str2bool, default=1)
+    parser.add_argument("--mix", type=str, default="cutmix",
+                        choices=["cutmix", "classmix", "dacs"])
+    parser.add_argument("--ls", type=str, default="CrossEntropy",
+                        choices=["CrossEntropy", "OhemCrossEntropy"])
+    parser.add_argument("--bcs", type=str2bool, default=0)
+    parser.add_argument("--class-temp", type=float, default=2.0)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=2333)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config_path, snapshot_postfix=f"/{args.mix}")
+    run_dir = cfg.snapshot_dir
+    os.makedirs(run_dir, exist_ok=True)
+    snapshot_config(cfg, run_dir)
+    logger = get_console_file_logger("train_ssl_mix", run_dir)
+    logging_args(args, logger)
+
+    stop_steps = args.steps or cfg.stage3_steps
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seed=args.seed)
+    variables = load_checkpoint(args.ckpt_model, variables)
+    state = build_state(
+        variables, cfg, stop_steps, balance_temp=args.class_temp,
+        feat_channels=model.config.inchannels,
+    )
+
+    hp = default_hparams(
+        cfg,
+        source_loss="ohem" if args.ls == "OhemCrossEntropy" else "ce",
+        balance_source=bool(args.bcs),
+    )
+    step_fn = make_mix_step(model, hp, mix=args.mix)
+
+    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    src_iter, _ = make_source_iter(cfg)
+    pseudo_dir = os.path.join(run_dir, "..", "pseudo_label")
+    gen_ds = SegDataset(
+        cfg.meta, list(cfg.target.image_dir), None, label_type="none"
+    )
+
+    def regen(state):
+        generate_pseudo_labels(
+            model, variables_of(state), gen_ds, cfg.target.mean, cfg.target.std,
+            out_dir=pseudo_dir, tile=cfg.crop, tta=True,
+            batch_size=min(4, cfg.target.batch_size),
+            cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low, logger=logger,
+        )
+        ds = SegDataset(
+            cfg.meta, list(cfg.target.image_dir), pseudo_dir, label_type="prob"
+        )
+        return infinite_batches(ds, cfg.target.batch_size, seed=1)
+
+    if args.gen:
+        logger.info("###### generating pseudo labels (round 0) ######")
+    tgt_iter = regen(state)
+
+    eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
+    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn, on_best=on_best)
+
+    # gene_every rounds (train_ssl_mix.py:125-141): run in chunks, regenerate
+    done = 0
+    while done < stop_steps:
+        chunk = min(cfg.gene_every, stop_steps - done)
+        state = run_training_loop(
+            state, step_fn, src_iter, tgt_iter, chunk, logger, hooks,
+            mesh=mesh, rng_seed=args.seed + done,
+        )
+        done += chunk
+        if done < stop_steps and args.gen:
+            logger.info(f"###### regenerating pseudo labels @ step {done} ######")
+            tgt_iter = regen(state)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""UVEM ablation trainer: per-round pseudo-label regeneration + param-sweep
+snapshot dirs.
+
+Rebuild of reference ``tools/train_ssl_uvem-abl.py``: identical to
+train_ssl_uem except pseudo labels are regenerated every GENE_EVERY steps and
+the snapshot dir encodes the swept (m, t, gamma) triple.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+
+import numpy as np
+
+from uemda_tpu.config import load_config, snapshot_config
+from uemda_tpu.datasets.base import SegDataset, infinite_batches
+from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
+from uemda_tpu.parallel import make_mesh
+from uemda_tpu.train.checkpoints import load_checkpoint
+from uemda_tpu.train.loop import (
+    LoopHooks,
+    build_model,
+    build_state,
+    default_hparams,
+    init_variables,
+    make_eval_hook,
+    make_source_iter,
+    run_training_loop,
+    variables_of,
+)
+from uemda_tpu.train.steps import make_ssl_step
+from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
+
+
+def main():
+    parser = argparse.ArgumentParser(description="UVEM ablation SSL.")
+    parser.add_argument("--config-path", type=str, default="2vaihingen")
+    parser.add_argument("--ckpt-model", type=str, required=True)
+    parser.add_argument("--ckpt-proto", type=str, required=True)
+    parser.add_argument("--gen", type=str2bool, default=1)
+    parser.add_argument("--refine-label", type=str2bool, default=1)
+    parser.add_argument("--refine-mode", type=str, default="all",
+                        choices=["s", "p", "n", "l", "all"])
+    parser.add_argument("--refine-temp", type=float, default=2.0)
+    parser.add_argument("--lt", type=str, default="uvem",
+                        choices=["uvem", "ups", "ohem", "focal", "ghm", "ce"])
+    parser.add_argument("--bct", type=str2bool, default=0)
+    parser.add_argument("--class-temp", type=float, default=2.0)
+    parser.add_argument("--uvem-m", type=float, default=0.2)
+    parser.add_argument("--uvem-t", type=float, default=0.7)
+    parser.add_argument("--uvem-g", type=float, default=4)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=2333)
+    args = parser.parse_args()
+
+    sweep = f"/ssl-abl-m{args.uvem_m}-t{args.uvem_t}-g{args.uvem_g}-{args.lt}"
+    cfg = load_config(args.config_path, snapshot_postfix=sweep)
+    run_dir = cfg.snapshot_dir
+    os.makedirs(run_dir, exist_ok=True)
+    snapshot_config(cfg, run_dir)
+    logger = get_console_file_logger("train_ssl_uvem_abl", run_dir)
+    logging_args(args, logger)
+
+    stop_steps = args.steps or cfg.stage3_steps
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seed=args.seed)
+    variables = load_checkpoint(args.ckpt_model, variables)
+    prototypes = load_checkpoint(
+        args.ckpt_proto,
+        np.zeros((cfg.class_num, model.config.inchannels), np.float32),
+    )
+    state = build_state(
+        variables, cfg, stop_steps, prototypes=prototypes,
+        balance_temp=args.class_temp, feat_channels=model.config.inchannels,
+    )
+
+    hp = default_hparams(
+        cfg,
+        refine=bool(args.refine_label),
+        refine_mode=args.refine_mode,
+        refine_temp=args.refine_temp,
+        target_loss=args.lt,
+        balance_target=bool(args.bct),
+        uvem_m=args.uvem_m,
+        uvem_t=args.uvem_t,
+        uvem_g=args.uvem_g,
+    )
+    step_fn = make_ssl_step(model, hp)
+
+    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    src_iter, _ = make_source_iter(cfg)
+    pseudo_dir = os.path.join(run_dir, "pseudo_label")
+    gen_ds = SegDataset(
+        cfg.meta, list(cfg.target.image_dir), None, label_type="none"
+    )
+    need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
+
+    def regen(state):
+        generate_pseudo_labels(
+            model, variables_of(state), gen_ds, cfg.target.mean, cfg.target.std,
+            out_dir=pseudo_dir, tile=cfg.crop, tta=True,
+            batch_size=min(4, cfg.target.batch_size),
+            cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low, logger=logger,
+        )
+        ds = SegDataset(
+            cfg.meta, list(cfg.target.image_dir), pseudo_dir,
+            label_type="prob", read_sup=need_sup,
+        )
+        return infinite_batches(ds, cfg.target.batch_size, seed=1)
+
+    tgt_iter = regen(state)
+    eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
+    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn, on_best=on_best)
+
+    # regenerate every GENE_EVERY (the abl trainer's difference vs uem)
+    done = 0
+    while done < stop_steps:
+        chunk = min(cfg.gene_every, stop_steps - done)
+        state = run_training_loop(
+            state, step_fn, src_iter, tgt_iter, chunk, logger, hooks,
+            mesh=mesh, rng_seed=args.seed + done,
+        )
+        done += chunk
+        if done < stop_steps and args.gen:
+            logger.info(f"###### regenerating pseudo labels @ step {done} ######")
+            tgt_iter = regen(state)
+
+
+if __name__ == "__main__":
+    main()

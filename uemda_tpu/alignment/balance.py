@@ -8,17 +8,19 @@ across data-parallel replicas before the EMA — see
 ``uemda_tpu.parallel``).
 """
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
+import flax.struct
 import jax.numpy as jnp
 
 from uemda_tpu.ops.labels import index_to_onehot
 
 
-class ClassBalanceState(NamedTuple):
+@flax.struct.dataclass
+class ClassBalanceState:
     freq: jnp.ndarray  # (C,)
-    decay: float
-    temperature: float
+    decay: float = flax.struct.field(pytree_node=False)
+    temperature: float = flax.struct.field(pytree_node=False)
 
 
 def init_class_balance(
@@ -59,7 +61,7 @@ def class_balance_weight(
     new_freq = state.decay * state.freq + (1.0 - state.decay) * _local_freq(
         label, c, ignore_label
     )
-    new_state = state._replace(freq=new_freq)
+    new_state = state.replace(freq=new_freq)
     w_per_class = class_weights(new_state)  # (C,)
     oh = index_to_onehot(label, c, ignore_label)  # (N, C)
     weight = (oh * w_per_class[None, :]).sum(axis=1)  # (N,)

@@ -20,8 +20,9 @@ ignore_label=-1. Design notes:
   (align_corners=True) and average across heads.
 """
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -95,10 +96,11 @@ def focal_loss(
     return ((1.0 - pt) ** gamma * ce).mean()
 
 
-class GHMState(NamedTuple):
+@flax.struct.dataclass
+class GHMState:
     acc_sum: jnp.ndarray  # (bins,)
-    momentum: float
-    bins: int
+    momentum: float = flax.struct.field(pytree_node=False)
+    bins: int = flax.struct.field(pytree_node=False)
 
 
 def init_ghm(bins: int = 30, momentum: float = 0.99) -> GHMState:
@@ -145,7 +147,7 @@ def ghm_loss(
     loss = (ce * jax.lax.stop_gradient(weights)).sum() / (
         (yf != ignore_label).sum() + 1e-7
     )
-    return loss, state._replace(acc_sum=acc)
+    return loss, state.replace(acc_sum=acc)
 
 
 def gdp_loss(
@@ -178,7 +180,7 @@ def gdp_loss(
     loss = (ce * jax.lax.stop_gradient(w) / n_weight_terms).sum() / (
         (yf != ignore_label).sum() + 1e-7
     )
-    return loss, state._replace(acc_sum=acc)
+    return loss, state.replace(acc_sum=acc)
 
 
 def ups_loss(

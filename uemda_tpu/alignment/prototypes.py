@@ -24,8 +24,9 @@ All views are fixed-shape and jittable; segment ops come from
 """
 
 import math
-from typing import NamedTuple, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -36,12 +37,13 @@ from uemda_tpu.ops.segment import superpixel_view_probs
 EPS = 1e-7
 
 
-class AlignerState(NamedTuple):
+@flax.struct.dataclass
+class AlignerState:
     prototypes: jnp.ndarray  # (C, K)
     data_sum: jnp.ndarray  # (C, K) running sum for init_avg
     data_cnt: jnp.ndarray  # (C, 1)
-    decay: float
-    ignore_label: int
+    decay: float = flax.struct.field(pytree_node=False)
+    ignore_label: int = flax.struct.field(pytree_node=False)
 
 
 def init_aligner(
@@ -131,7 +133,7 @@ def update_prototype(
         state.ignore_label,
     )
     new_proto = (1.0 - state.decay) * local + state.decay * state.prototypes
-    return state._replace(prototypes=new_proto), label_down
+    return state.replace(prototypes=new_proto), label_down
 
 
 def update_avg(
@@ -153,7 +155,7 @@ def update_avg(
         oh.T, feats, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    return state._replace(
+    return state.replace(
         data_sum=state.data_sum + sums,
         data_cnt=state.data_cnt + oh.sum(axis=0)[:, None],
     )
@@ -161,7 +163,7 @@ def update_avg(
 
 def init_avg(state: AlignerState) -> AlignerState:
     """``Aligner.init_avg`` (alignment.py:121-126)."""
-    return state._replace(prototypes=state.data_sum / (state.data_cnt + EPS))
+    return state.replace(prototypes=state.data_sum / (state.data_cnt + EPS))
 
 
 # ------------------------------------------------------------ margin losses
@@ -365,7 +367,7 @@ def update_prototype_by_target(
     s = soft_down.reshape(-1, c, 1)
     local = (f * s).mean(axis=0)  # (C, K)
     new_proto = (1.0 - state.decay) * local + state.decay * state.prototypes
-    return state._replace(prototypes=new_proto)
+    return state.replace(prototypes=new_proto)
 
 
 def prototype_weight_for_pixels(

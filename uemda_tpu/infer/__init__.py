@@ -1,0 +1,3 @@
+from uemda_tpu.infer.slide import make_predictor, slide_predict, window_grid
+from uemda_tpu.infer.evaluate import evaluate_dataset
+from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels

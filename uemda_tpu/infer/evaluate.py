@@ -1,0 +1,77 @@
+"""Dataset evaluation: batched slide inference + on-device confusion matrix.
+
+Rebuilds ``evaluate`` (reference ``uemda/utils/eval.py:14-56``): the reference
+walks the val split at batch 1, pulls predictions to CPU per image and feeds
+a numpy metric. Here images are processed in device-sized batches through the
+jitted slide predictor and the (C, C) confusion matrix accumulates on device;
+only the final matrix crosses to host. IsprsDA drops class 0 from means
+(``eval.py:16-17``).
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from uemda_tpu.datasets.augment import normalize
+from uemda_tpu.datasets.base import SegDataset, sequential_batches
+from uemda_tpu.infer.slide import make_predictor
+from uemda_tpu.ops.metrics import PixelMetricSummary, confusion_matrix
+from uemda_tpu.utils.viz import VisualizeSegmm
+
+
+def evaluate_dataset(
+    model,
+    variables,
+    dataset: SegDataset,
+    mean,
+    std,
+    tile: Tuple[int, int] = (512, 512),
+    tta: bool = False,
+    batch_size: int = 8,
+    vis_dir: Optional[str] = None,
+    compute_dtype: str = "bfloat16",
+    logger=None,
+):
+    meta = dataset.meta
+    hw = None
+    predictor = None
+    cm = jnp.zeros((meta.num_classes, meta.num_classes), jnp.int32)
+    viz = VisualizeSegmm(vis_dir, meta.palette) if vis_dir else None
+
+    for indices, batch in sequential_batches(dataset, batch_size):
+        images = jnp.asarray(batch["image"])
+        if predictor is None or images.shape[1:3] != hw:
+            hw = images.shape[1:3]
+            predictor = make_predictor(
+                model, tile, hw, tta=tta, compute_dtype=compute_dtype
+            )
+        # eval transforms = normalize only (configs EVAL pipelines)
+        images = normalize(images, mean, std)
+        # pad last partial batch to the compiled batch size
+        n = images.shape[0]
+        if n < batch_size:
+            pad = batch_size - n
+            images = jnp.concatenate([images, jnp.zeros((pad,) + images.shape[1:])])
+        probs = predictor(variables, images)[:n]
+        pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        label = jnp.asarray(batch["label"])
+        cm = cm + confusion_matrix(label, pred, meta.num_classes)
+        if viz is not None:
+            pred_host = np.asarray(pred)
+            for j, idx in enumerate(indices):
+                fname = dataset.filename(idx).replace("tif", "png")
+                viz(pred_host[j], fname)
+
+    summary = PixelMetricSummary(
+        meta.num_classes,
+        class_names=meta.class_names,
+        ignore_labels=list(meta.eval_ignore_labels),
+    ).summarize(np.asarray(cm))
+    if logger is not None:
+        logger.info("\n" + PixelMetricSummary(
+            meta.num_classes,
+            class_names=meta.class_names,
+            ignore_labels=list(meta.eval_ignore_labels),
+        ).format_table(summary))
+    return summary, summary["miou"]

@@ -1,0 +1,87 @@
+"""Batched pseudo-label generation over the target split.
+
+Rebuilds ``gener_target_pseudo`` (reference
+``uemda/gast/pseudo_generation.py:96-155``): the reference loops the target
+set at batch 1, runs slide + 8 sequential TTA forwards per window and writes
+a torch ``.pt`` per image. Here the whole split streams through the jitted
+batched slide+TTA predictor; probabilities are returned in host RAM (fp16)
+and/or written as ``.npy`` files for the stage-3 prob-label dataset. A color
+visualization of the mined hard labels can be dumped like the reference's
+``_color`` dir.
+"""
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from uemda_tpu.datasets.augment import normalize
+from uemda_tpu.datasets.base import SegDataset, sequential_batches
+from uemda_tpu.datasets.io import save_prob
+from uemda_tpu.infer.slide import make_predictor
+from uemda_tpu.ops.pseudo import pseudo_selection
+from uemda_tpu.utils.viz import VisualizeSegmm
+
+
+def generate_pseudo_labels(
+    model,
+    variables,
+    dataset: SegDataset,
+    mean,
+    std,
+    out_dir: Optional[str] = None,
+    tile: Tuple[int, int] = (512, 512),
+    tta: bool = True,
+    batch_size: int = 4,
+    cutoff_top: float = 0.8,
+    cutoff_low: float = 0.6,
+    color_dir: Optional[str] = None,
+    keep_in_memory: bool = True,
+    compute_dtype: str = "bfloat16",
+    logger=None,
+) -> Dict[str, np.ndarray]:
+    """Returns {filename: (H, W, C) fp16 probs} (if keep_in_memory) and/or
+    writes ``<out_dir>/<filename>.npy`` per image."""
+    meta = dataset.meta
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    viz = VisualizeSegmm(color_dir, meta.palette) if color_dir else None
+    predictor = None
+    hw = None
+    result: Dict[str, np.ndarray] = {}
+
+    for indices, batch in sequential_batches(dataset, batch_size):
+        images = jnp.asarray(batch["image"])
+        if predictor is None or images.shape[1:3] != hw:
+            hw = images.shape[1:3]
+            predictor = make_predictor(
+                model, tile, hw, tta=tta, compute_dtype=compute_dtype
+            )
+        images = normalize(images, mean, std)
+        n = images.shape[0]
+        if n < batch_size:
+            images = jnp.concatenate(
+                [images, jnp.zeros((batch_size - n,) + images.shape[1:])]
+            )
+        probs = predictor(variables, images)[:n]  # (n, H, W, C) f32
+        hard = None
+        if viz is not None:
+            hard = np.asarray(
+                pseudo_selection(probs, cutoff_top, cutoff_low, meta.ignore_label)
+            )
+        probs_host = np.asarray(probs, dtype=np.float16)
+        for j, idx in enumerate(indices):
+            fname = dataset.filename(idx)
+            if keep_in_memory:
+                result[fname] = probs_host[j]
+            if out_dir:
+                save_prob(os.path.join(out_dir, fname), probs_host[j])
+            if viz is not None:
+                viz(hard[j], fname.replace(".tif", ".png"))
+    if logger is not None:
+        logger.info(
+            f"pseudo labels generated for {len(dataset)} images"
+            + (f" -> {out_dir}" if out_dir else " (in memory)")
+        )
+    return result

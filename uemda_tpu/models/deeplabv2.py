@@ -24,10 +24,12 @@ from uemda_tpu.ops.resize import resize_bilinear
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch nn.InstanceNorm2d default: per-(sample, channel) over H,W,
-    affine=False, track_running_stats=False (``Encoder.py:118-123``)."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    affine=False, track_running_stats=False (``Encoder.py:118-123``).
+    Statistics in f32 regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
 
 
 class DeeplabV2(nn.Module):

@@ -56,20 +56,24 @@ def conv(
 
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1) with a
-    ``frozen`` switch implementing the reference's BN-eval trick."""
+    ``frozen`` switch implementing the reference's BN-eval trick.
+
+    Statistics are always computed in f32 (mixed-precision hygiene: bf16
+    activations would corrupt the long-lived running averages)."""
 
     frozen: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         use_ra = (not train) or self.frozen
-        return nn.BatchNorm(
+        y = nn.BatchNorm(
             use_running_average=use_ra,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=x.dtype,
+            dtype=jnp.float32,
             name="bn",
-        )(x)
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class BasicBlock(nn.Module):

@@ -1,0 +1,251 @@
+"""Shared trainer driver: model/state construction, the step loop with
+periodic eval + best-checkpoint tracking, and pipeline-stage hand-off.
+
+Factors out what every reference tool repeats (``tools/train_src.py:43-166``
+etc.): build Deeplabv2 + Aligner + loaders, loop steps, log every 50, eval
+every EVAL_EVERY keeping ``<target>_best`` on mIoU improvement. Differences
+from the reference runtime model:
+
+  * one resident process per stage function, state handed off in memory or
+    via msgpack checkpoints (the reference forks 5 OS processes glued by
+    .pth files, SURVEY §3.0);
+  * the host thread only feeds raw uint8 tiles; augmentation + model +
+    losses are one jitted step;
+  * under a data mesh the same loop drives every replica (SPMD).
+"""
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uemda_tpu.config import PairConfig
+from uemda_tpu.datasets.base import SegDataset, infinite_batches
+from uemda_tpu.infer.evaluate import evaluate_dataset
+from uemda_tpu.models import DeeplabV2, DeeplabV2Config
+from uemda_tpu.models.port_torch import load_torch_state_dict, port_imagenet_backbone
+from uemda_tpu.parallel import make_mesh, shard_batch, shard_pytree_replicated
+from uemda_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from uemda_tpu.train.lr import poly_warmup_schedule
+from uemda_tpu.train.optim import make_optimizer
+from uemda_tpu.train.state import TrainState, create_train_state
+from uemda_tpu.train.steps import StageHParams
+
+
+def resolve_model_name(model: str) -> str:
+    name = str(model).lower()
+    return "resnet50" if name == "resnet" else name
+
+
+def build_model(cfg: PairConfig, pretrained: Optional[str] = None):
+    """The one model config every reference tool uses (train_src.py:63-80);
+    head/feature widths follow the backbone (2048 for resnet50/101)."""
+    import dataclasses as _dc
+
+    from uemda_tpu.models import ResNetEncoder
+    from uemda_tpu.models.config import PPMConfig
+
+    name = resolve_model_name(cfg.model)
+    fc_dim = ResNetEncoder.out_channels(name)
+    mcfg = DeeplabV2Config.uemda_default(
+        num_classes=cfg.class_num, resnet_type=name, pretrained=pretrained
+    )
+    if fc_dim != 2048:
+        mcfg = _dc.replace(
+            mcfg,
+            ppm=PPMConfig(num_classes=cfg.class_num, fc_dim=fc_dim),
+            inchannels=fc_dim,
+        )
+    return DeeplabV2(mcfg)
+
+
+def feat_channels_of(model) -> int:
+    return model.config.inchannels
+
+
+def init_variables(model, cfg: PairConfig, seed: int = 0):
+    sample = jnp.ones((1, cfg.crop[0], cfg.crop[1], 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.key(seed)}, sample, train=False)
+    )()
+    pre = model.config.backbone.pretrained
+    if pre:
+        if pre.endswith((".pth", ".pt")):
+            sd = load_torch_state_dict(pre)
+            deep = model.config.backbone.resnet_type.endswith("v1c")
+            variables = port_imagenet_backbone(sd, variables, deep_stem=deep)
+        else:
+            variables = load_checkpoint(pre, variables)
+    return variables
+
+
+def build_state(
+    variables,
+    cfg: PairConfig,
+    stop_steps: int,
+    freeze_at: int = 0,
+    prototypes=None,
+    balance_temp: float = 2.0,
+    feat_channels: int = 2048,
+) -> TrainState:
+    from uemda_tpu.train.optim import freeze_mask
+
+    schedule = poly_warmup_schedule(cfg.learning_rate, stop_steps, cfg.power)
+    mask = (
+        freeze_mask(variables["params"], freeze_at) if freeze_at > 0 else None
+    )
+    tx = make_optimizer(
+        schedule, cfg.momentum, cfg.weight_decay, clip_norm=32.0,
+        trainable_mask=mask,
+    )
+    return create_train_state(
+        variables, tx, cfg.class_num, feat_channels=feat_channels,
+        ignore_label=cfg.ignore_label, prototypes=prototypes,
+        balance_temp=balance_temp,
+    )
+
+
+def variables_of(state: TrainState) -> Dict:
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+@dataclasses.dataclass
+class LoopHooks:
+    eval_every: int = 500
+    log_every: int = 50
+    eval_fn: Optional[Callable] = None  # (state) -> miou
+    on_best: Optional[Callable] = None  # (state, step, miou)
+    on_eval: Optional[Callable] = None  # (state, step, miou)
+
+
+def run_training_loop(
+    state: TrainState,
+    step_fn: Callable,
+    source_iter,
+    target_iter,
+    stop_steps: int,
+    logger,
+    hooks: LoopHooks,
+    mesh=None,
+    rng_seed: int = 2333,
+) -> TrainState:
+    """The per-iteration loop shared by all trainers (train_src.py:108-165)."""
+    key = jax.random.key(rng_seed)
+    t0 = time.time()
+    miou_max, iter_max = 0.0, 0
+    if mesh is not None:
+        state = shard_pytree_replicated(mesh, state)
+    for i in range(stop_steps):
+        batch_s = next(source_iter)
+        batch_t = next(target_iter) if target_iter is not None else None
+        if mesh is not None:
+            batch_s = shard_batch(mesh, batch_s)
+            batch_t = shard_batch(mesh, batch_t) if batch_t is not None else None
+        key, sub = jax.random.split(key)
+        if batch_t is not None:
+            state, metrics = step_fn(state, batch_s, batch_t, sub)
+        else:
+            state, metrics = step_fn(state, batch_s, sub)
+
+        if i == 0 or (i + 1) % hooks.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            msg = ", ".join(f"{k}={v:.4g}" for k, v in m.items())
+            logger.info(f"iter={i + 1}/{stop_steps}, {msg}")
+
+        if hooks.eval_fn is not None and (
+            (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
+        ):
+            miou = hooks.eval_fn(state)
+            if hooks.on_eval:
+                hooks.on_eval(state, i + 1, miou)
+            if miou >= miou_max:
+                miou_max, iter_max = miou, i + 1
+                if hooks.on_best:
+                    hooks.on_best(state, i + 1, miou)
+            logger.info(
+                f"eval@{i + 1}: mIoU={miou:.5f} "
+                f"(best {miou_max:.5f} @ iter {iter_max})"
+            )
+    logger.info(f">>>> used {(time.time() - t0) / 3600:.3f} hours")
+    return state
+
+
+def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
+                   tta: bool = False, test: bool = False):
+    """Standard eval-on-val hook with curr/best checkpointing
+    (train_src.py:151-163)."""
+    split = cfg.test if test else cfg.val
+    dataset = SegDataset(
+        cfg.meta, list(split.image_dir), list(split.mask_dir)[0]
+    )
+
+    def eval_fn(state: TrainState) -> float:
+        save_checkpoint(
+            os.path.join(run_dir, f"{cfg.target_set}_curr.msgpack"),
+            variables_of(state),
+        )
+        _, miou = evaluate_dataset(
+            model, variables_of(state), dataset, split.mean, split.std,
+            tile=cfg.crop, tta=tta, batch_size=split.batch_size, logger=logger,
+        )
+        return miou
+
+    def on_best(state: TrainState, step: int, miou: float):
+        save_checkpoint(
+            os.path.join(run_dir, f"{cfg.target_set}_best.msgpack"),
+            variables_of(state),
+        )
+        save_checkpoint(
+            os.path.join(run_dir, "prototypes_best.msgpack"),
+            state.aligner.prototypes,
+        )
+
+    return eval_fn, on_best
+
+
+def make_source_iter(cfg: PairConfig, seed=0):
+    ds = SegDataset(
+        cfg.meta, list(cfg.source.image_dir), list(cfg.source.mask_dir)[0]
+    )
+    return infinite_batches(ds, cfg.source.batch_size, seed=seed), ds
+
+
+def make_target_iter(
+    cfg: PairConfig, label_type="none", mask_dir=None, read_sup=False, seed=1
+):
+    ds = SegDataset(
+        cfg.meta,
+        list(cfg.target.image_dir),
+        mask_dir if mask_dir is not None else list(cfg.target.mask_dir)[0],
+        label_type=label_type,
+        read_sup=read_sup,
+    )
+    return infinite_batches(ds, cfg.target.batch_size, seed=seed), ds
+
+
+def default_hparams(cfg: PairConfig, **overrides) -> StageHParams:
+    base = dict(
+        class_num=cfg.class_num,
+        ignore_label=cfg.ignore_label,
+        crop=cfg.crop,
+        src_mean=cfg.source.mean,
+        src_std=cfg.source.std,
+        tgt_mean=cfg.target.mean,
+        tgt_std=cfg.target.std,
+        cutoff_top=cfg.cutoff_top,
+        cutoff_low=cfg.cutoff_low,
+        max_segments=_max_segments_for(cfg),
+    )
+    base.update(overrides)
+    return StageHParams(**base)
+
+
+def _max_segments_for(cfg: PairConfig) -> int:
+    # LSC region_size 16 on a crop => <= (h/16)*(w/16) ids + 1 boundary id,
+    # rounded up for id-count jitter (superpixels.py:129-133)
+    h, w = cfg.crop
+    return (h // 16) * (w // 16) + 32
