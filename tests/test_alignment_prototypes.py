@@ -140,7 +140,7 @@ def test_align_class_vs_torch():
     rng = np.random.default_rng(5)
     c, k = 6, 16
     state = init_aligner(c, k)
-    state = state._replace(prototypes=jnp.asarray(rng.standard_normal((c, k)), jnp.float32))
+    state = state.replace(prototypes=jnp.asarray(rng.standard_normal((c, k)), jnp.float32))
     feat = rng.standard_normal((4, 2, 2, k)).astype(np.float32)
     # block-constant labels so 16x16 cells survive the 0.75 majority vote
     label = np.kron(
@@ -169,7 +169,7 @@ def test_align_instance_runs_and_is_positive():
     rng = np.random.default_rng(6)
     c, k = 6, 16
     state = init_aligner(c, k)
-    state = state._replace(prototypes=jnp.asarray(rng.standard_normal((c, k)), jnp.float32))
+    state = state.replace(prototypes=jnp.asarray(rng.standard_normal((c, k)), jnp.float32))
     feat = rng.standard_normal((2, 2, 2, k)).astype(np.float32)
     label = np.kron(
         rng.integers(0, c, size=(2, 2, 2)), np.ones((16, 16), np.int64)

@@ -1,0 +1,171 @@
+"""Auxiliary components: C++ superpixels, discriminators/MMD, TransNorm,
+mixing ops, DCA regularizers, param EMA, triplet/pixel-contrast, converters."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from uemda_tpu.alignment.contrastive import pixel_contrast_loss, triplet_loss
+from uemda_tpu.alignment.dca import ccr, get_context, icr
+from uemda_tpu.models.discriminator import (
+    DeeplabV2MMD,
+    FCDiscriminator,
+    PixelDiscriminator,
+    mmd_linear,
+)
+from uemda_tpu.models.trans_norm import TransNorm2d
+from uemda_tpu.ops.mixing import classmix, cutmix, cutmix_inbatch
+from uemda_tpu.train.ema import init_ema, update_ema
+
+
+def test_superpixels_cpp_roundtrip():
+    from uemda_tpu.superpixels import superpixels_with_shrink
+
+    rng = np.random.default_rng(0)
+    lbl = np.kron(rng.integers(0, 6, (4, 4)), np.ones((16, 16), int))
+    palette = np.linspace(40, 215, 6)[:, None] * np.array([[1.0, 0.8, 0.6]])
+    img = np.clip(palette[lbl] + rng.normal(0, 5, lbl.shape + (3,)), 0, 255)
+    n, labels, shrunk = superpixels_with_shrink(
+        img.astype(np.uint8), region_size=16, iterations=10
+    )
+    assert labels.shape == (64, 64)
+    assert 4 <= n <= 64
+    assert shrunk.max() == 16  # boundary id = (64/16)^2
+    # shrunk interiors keep their original label
+    interior = shrunk != 16
+    assert (shrunk[interior] == labels[interior]).all()
+    # every pixel adjacent to a label change within win 3 is boundary
+    assert (shrunk[:, 15] == 16).any()
+
+
+def test_mixing_ops_paste_consistently():
+    rng = np.random.default_rng(1)
+    img_s = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    img_t = jnp.zeros((2, 32, 32, 3))
+    lab_s = jnp.ones((2, 32, 32), jnp.int32) * 2
+    lab_t = jnp.zeros((2, 32, 32), jnp.int32)
+    _, _, mixed_img, mixed_lab = cutmix(jax.random.key(0), img_s, lab_s, img_t, lab_t)
+    pasted = np.asarray(mixed_lab[0]) == 2
+    np.testing.assert_allclose(
+        np.asarray(mixed_img[0])[pasted], np.asarray(img_s[0])[pasted]
+    )
+    _, _, ci, cl = classmix(
+        jax.random.key(1), img_s, lab_s, img_t, lab_t, class_num=6
+    )
+    sel = np.asarray(cl[0]) == 2
+    if sel.any():  # class 2 selected -> all pixels pasted (uniform label)
+        assert sel.all()
+        np.testing.assert_allclose(np.asarray(ci), np.asarray(img_s))
+    d, t = cutmix_inbatch(jax.random.key(2), img_s, lab_s)
+    assert d.shape == img_s.shape
+
+
+def test_discriminators_shapes():
+    x = jnp.ones((2, 64, 64, 6))
+    d = FCDiscriminator()
+    v = d.init(jax.random.key(0), x)
+    out = d.apply(v, x)
+    assert out.shape == (2, 2, 2, 1)
+    pd = PixelDiscriminator(ndf=64, num_classes=1)
+    v = pd.init(jax.random.key(0), jnp.ones((2, 8, 8, 32)))
+    out = pd.apply(v, jnp.ones((2, 8, 8, 32)))
+    assert out.shape == (2, 8, 8, 2)
+
+
+def test_mmd_model_and_loss():
+    from uemda_tpu.models.config import BackboneConfig
+
+    m = DeeplabV2MMD(
+        backbone=BackboneConfig(resnet_type="resnet18"),
+        num_classes=6,
+        inchannels=512,
+    )
+    x = jnp.ones((2, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    (logits, feat), _ = m.apply(
+        v, x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)}
+    )
+    assert logits.shape == (2, 64, 64, 6)
+    assert feat.shape == (2, 512 // 8)
+    assert float(mmd_linear(feat, feat * 2)) >= 0
+
+
+def test_transnorm_train_eval():
+    tn = TransNorm2d(8)
+    x = jnp.concatenate(
+        [jnp.ones((2, 4, 4, 8)), jnp.ones((2, 4, 4, 8)) * 3.0], axis=0
+    )
+    v = tn.init(jax.random.key(0), x, train=True)
+    y, mut = tn.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == x.shape
+    # source/target stats diverge
+    ms = np.asarray(mut["batch_stats"]["mean_source"])
+    mt = np.asarray(mut["batch_stats"]["mean_target"])
+    assert (mt > ms).all()
+    y_eval = tn.apply(
+        {"params": v["params"], "batch_stats": mut["batch_stats"]}, x, train=False
+    )
+    assert np.isfinite(np.asarray(y_eval)).all()
+
+
+def test_dca_regularizers():
+    rng = np.random.default_rng(2)
+    p1 = jnp.asarray(rng.standard_normal((4, 4, 4, 6)), jnp.float32)
+    p2 = jnp.asarray(rng.standard_normal((4, 4, 4, 6)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((4, 4, 4, 16)), jnp.float32)
+    li = float(icr(p1, p2, f, 6))
+    lc = float(ccr(p1, p2, f, p1, p2, f * 1.1, 6))
+    assert np.isfinite(li) and np.isfinite(lc)
+    # context vs torch golden
+    probs = jax.nn.softmax(p1, -1)
+    ctx = np.asarray(get_context(probs, f))
+    tp = torch.from_numpy(np.asarray(probs).transpose(0, 3, 1, 2))
+    tf_ = torch.from_numpy(np.asarray(f).transpose(0, 3, 1, 2))
+    b, c, h, w = tp.shape
+    k = tf_.shape[1]
+    tpv = tp.reshape(b, c, 1, h * w)
+    tfv = tf_.reshape(b, 1, k, h * w)
+    want = (tfv * tpv).sum(-1) / tpv.sum(-1)
+    want = torch.nn.functional.normalize(want, dim=1).numpy()
+    np.testing.assert_allclose(ctx, want, rtol=1e-3, atol=1e-4)
+
+
+def test_triplet_and_pixel_contrast():
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.standard_normal((12, 8)), jnp.float32)
+    labels = jnp.asarray(np.repeat([0, 1, 2], 4), jnp.int32)
+    lt = float(triplet_loss(feats, labels))
+    assert lt >= 0
+    f = jnp.asarray(rng.standard_normal((2, 64, 8)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, (2, 64)), jnp.int32)
+    p = jnp.asarray(rng.integers(0, 3, (2, 64)), jnp.int32)
+    lp = float(
+        pixel_contrast_loss(f, y, p, jax.random.key(0), num_classes=3, n_view=8)
+    )
+    assert np.isfinite(lp)
+
+
+def test_ema_update():
+    params = {"w": jnp.ones((3,))}
+    shadow = init_ema(params)
+    shadow = update_ema(shadow, {"w": jnp.zeros((3,))}, decay=0.9)
+    np.testing.assert_allclose(np.asarray(shadow["w"]), 0.9)
+
+
+def test_converter_tiling_and_lut():
+    from uemda_tpu.datasets.convert import clip_boxes, color_mask_to_ids
+
+    boxes = clip_boxes(1024, 1024, 512)
+    assert len(boxes) == 4 and boxes[0] == (0, 0, 512, 512)
+    boxes = clip_boxes(900, 900, 512)  # border tiles shift inward
+    assert (388, 388, 900, 900) in boxes
+    mask = np.zeros((2, 3, 3), np.uint8)
+    mask = np.array(
+        [[[255, 255, 255], [0, 0, 255], [255, 0, 0]]], np.uint8
+    )  # white, blue, red
+    ids = color_mask_to_ids(mask)
+    assert ids[0, 0] == 1  # white -> 1
+    assert ids[0, 2] == 2  # red (clutter LUT slot) -> 2
+    assert ids[0, 1] == 0  # blue -> 6 -> merged to 0 (reference quirk)

@@ -1,0 +1,111 @@
+"""ctypes bindings for the C++ superpixel runtime (native/superpixels.cpp).
+
+The shared library is compiled on first use with g++ (cached next to the
+source). Replaces the reference's OpenCV LSC superpixels
+(``uemda/gast/superpixels.py:49-83``) and the O(H*W*49) Python
+``edge_shrinking`` loop (``:129-152``) — the C++ shrink is a separable
+min/max window pass.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SRC = os.path.join(_NATIVE_DIR, "superpixels.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libsuperpixels.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                check=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.slic_superpixels.restype = ctypes.c_int
+        lib.slic_superpixels.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.edge_shrink.restype = None
+        lib.edge_shrink.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return lib
+
+
+def slic_superpixels(
+    image: np.ndarray,
+    region_size: int = 16,
+    ratio: float = 0.075,
+    iterations: int = 100,
+) -> Tuple[int, np.ndarray]:
+    """(H, W, 3) uint8 RGB -> (n_superpixels, (H, W) int32 label map).
+    Parameter defaults mirror the reference LSC call (superpixels.py:106)."""
+    lib = _load()
+    img = np.ascontiguousarray(image[..., :3], dtype=np.uint8)
+    h, w = img.shape[:2]
+    labels = np.empty((h, w), np.int32)
+    n = lib.slic_superpixels(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, region_size, ctypes.c_float(ratio), iterations,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return int(n), labels
+
+
+def edge_shrink(
+    labels: np.ndarray, win_size: int = 3, boundary_id: int = None
+) -> np.ndarray:
+    """Mark every pixel with a differing label inside the (2w+1)^2 window as
+    ``boundary_id`` (reference default: cnt_sup = (h/16)*(w/16),
+    superpixels.py:129-133)."""
+    lib = _load()
+    lab = np.ascontiguousarray(labels, dtype=np.int32)
+    h, w = lab.shape
+    if boundary_id is None:
+        boundary_id = (h // 16) * (w // 16)
+    out = np.empty_like(lab)
+    lib.edge_shrink(
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h, w, win_size, boundary_id,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def superpixels_with_shrink(
+    image: np.ndarray,
+    region_size: int = 16,
+    ratio: float = 0.075,
+    iterations: int = 100,
+    win_size: int = 3,
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Full offline product: (n, labels, shrunk labels with boundary id =
+    (h/rs)*(w/rs), as consumed by the 's' refinement view)."""
+    n, labels = slic_superpixels(image, region_size, ratio, iterations)
+    h, w = labels.shape
+    boundary = (h // region_size) * (w // region_size)
+    shrunk = edge_shrink(labels, win_size, boundary)
+    return n, labels, shrunk
