@@ -19,6 +19,10 @@ A100_REFERENCE_TILES_PER_SEC = 200.0
 TARGET_MULTIPLIER = 5.0
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     import jax
     import jax.numpy as jnp

@@ -1,0 +1,4 @@
+#!/bin/bash
+set -e
+cd "$(dirname "$0")/../.."
+python tools/run_pipeline.py --config-path 2potsdam "$@"

@@ -59,3 +59,25 @@ def test_superpixel_expand_majority():
     out = np.asarray(superpixel_expand(jnp.asarray(label), jnp.asarray(sup), 6, 4))
     assert (out[0, :, :2] == 3).all()  # left segment: majority class 3
     assert (out[0, :, 2:] == -1).all()  # right segment: no labels -> ignore
+
+
+def test_pallas_segment_kernels_match_xla():
+    """Pallas kernels (interpret mode on CPU) vs the XLA segment ops."""
+    import jax
+
+    from uemda_tpu.ops.pallas_kernels import segment_max_pallas, segment_sum_pallas
+
+    rng = np.random.default_rng(7)
+    data = jnp.asarray(rng.random((2, 256, 6)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 17, (2, 256)), jnp.int32)
+    ref_max = segment_max(data, ids, 20)
+    got_max = segment_max_pallas(data, ids, 20, tile=128)
+    occ = np.asarray(ref_max) > -1e30
+    np.testing.assert_allclose(
+        np.asarray(got_max)[occ], np.asarray(ref_max)[occ], rtol=1e-5
+    )
+    ref_sum = segment_sum(data, ids, 20)
+    got_sum = segment_sum_pallas(data, ids, 20, tile=128)
+    np.testing.assert_allclose(
+        np.asarray(got_sum), np.asarray(ref_sum), rtol=1e-4, atol=1e-5
+    )

@@ -24,6 +24,10 @@ from uemda_tpu.datasets.convert import (
 )
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Convert ISPRS rasters.")
     parser.add_argument("dataset", choices=["potsdam", "potsdam_rgb", "vaihingen"])

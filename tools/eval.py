@@ -18,6 +18,10 @@ from uemda_tpu.train.loop import build_model, init_variables
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Evaluate a checkpoint.")
     parser.add_argument("--config-path", type=str, default="2vaihingen")

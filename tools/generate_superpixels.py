@@ -51,6 +51,10 @@ def process_dir(dir_path: str, out_dir: str, region_size=16, ratio=0.075,
             print(f"  {i + 1}/{len(paths)} (last n={n})")
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Generate superpixel maps.")
     parser.add_argument("--img-dir", type=str, required=True)

@@ -26,6 +26,10 @@ from uemda_tpu.utils.log import str2bool
 from uemda_tpu.utils.viz import VisualizeSegmm
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Infer one image.")
     parser.add_argument("--config-path", type=str, default="2vaihingen")

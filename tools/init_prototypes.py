@@ -33,6 +33,10 @@ from uemda_tpu.utils.log import get_console_file_logger, logging_args
 import jax.numpy as jnp
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Init prototypes.")
     parser.add_argument("--config-path", type=str, default="2vaihingen")

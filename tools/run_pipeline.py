@@ -32,6 +32,10 @@ def run(cmd, dry):
         subprocess.run(cmd, check=True)
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Run the 3-stage pipeline.")
     parser.add_argument("--config-path", type=str, default="2vaihingen")

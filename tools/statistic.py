@@ -14,6 +14,10 @@ import argparse
 from uemda_tpu.datasets.convert import compute_channel_stats
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Channel statistics.")
     parser.add_argument("--img-dir", type=str, required=True, nargs="+")

@@ -35,6 +35,10 @@ from uemda_tpu.train.steps import make_src_step
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Train on source (stage 1).")
     parser.add_argument("--config-path", type=str, default="2vaihingen")

@@ -39,6 +39,10 @@ from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
 LOSS_CHOICES = ["ours", "uvem", "ohem", "focal", "ghm", "ups", "none", "ce"]
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="Self-training (stage 3).")
     parser.add_argument("--config-path", type=str, default="2vaihingen")

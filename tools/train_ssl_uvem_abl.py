@@ -36,6 +36,10 @@ from uemda_tpu.train.steps import make_ssl_step
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
 
 
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 def main():
     parser = argparse.ArgumentParser(description="UVEM ablation SSL.")
     parser.add_argument("--config-path", type=str, default="2vaihingen")
