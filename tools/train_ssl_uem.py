@@ -65,6 +65,8 @@ def main():
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 10-15")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path, snapshot_postfix="/ssl")
@@ -133,7 +135,7 @@ def main():
 
     run_training_loop(
         state, step_fn, src_iter, tgt_iter, stop_steps, logger, hooks,
-        mesh=mesh, rng_seed=args.seed,
+        mesh=mesh, rng_seed=args.seed, profile_dir=args.profile_dir,
     )
 
 

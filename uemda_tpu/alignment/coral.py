@@ -38,3 +38,22 @@ def align_domain(feat_s: jnp.ndarray, feat_t: jnp.ndarray) -> jnp.ndarray:
     and apply CORAL."""
     k = feat_s.shape[-1]
     return coral_loss(feat_s.reshape(-1, k), feat_t.reshape(-1, k))
+
+
+def coral_loss2(
+    source: jnp.ndarray, target: jnp.ndarray, is_sqrt: bool = False
+) -> jnp.ndarray:
+    """``CoralLoss2`` (coral.py:50-78): the algebraically expanded eq. 1-3
+    form (X^T X - mean-outer-product); numerically near-identical."""
+    d = source.shape[1]
+    def cov2(x):
+        n = x.shape[0]
+        s = x.sum(axis=0, keepdims=True)
+        g = jnp.matmul(x.T, x, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        return (g - (s.T @ s) / n) / (n - 1)
+    diff = cov2(source.astype(jnp.float32)) - cov2(target.astype(jnp.float32))
+    loss = (diff ** 2).sum()
+    if is_sqrt:
+        loss = jnp.sqrt(loss)
+    return loss / (4.0 * d * d)

@@ -30,3 +30,26 @@ def pseudo_selection(
     label = jnp.argmax(over, axis=-1).astype(jnp.int32)
     label = jnp.where(ambiguous, ignore_label, label)
     return label.reshape(b, h, w)
+
+
+def pseudo_selection_threshold(
+    probs: jnp.ndarray,
+    cutoff_top: float = 0.8,
+    cutoff_low: float = 0.6,
+    ignore_label: int = -1,
+) -> jnp.ndarray:
+    """The reference's alternative rule ``pseudo_selection1``
+    (pseudo_generation.py:24-56): label = argmax prob; ignore if the top
+    probability falls below that class's adaptive threshold."""
+    b, h, w, c = probs.shape
+    probs = probs.astype(jnp.float32)
+    class_max = probs.reshape(b, h * w, c).max(axis=1, keepdims=True)
+    thresh = jnp.maximum(class_max * cutoff_top, cutoff_low)  # (B,1,C)
+    flat = probs.reshape(b, h * w, c)
+    top = flat.max(axis=-1)
+    label = jnp.argmax(flat, axis=-1)
+    pix_thresh = jnp.take_along_axis(
+        jnp.broadcast_to(thresh, flat.shape), label[..., None], axis=-1
+    )[..., 0]
+    label = jnp.where(top < pix_thresh, ignore_label, label)
+    return label.reshape(b, h, w).astype(jnp.int32)

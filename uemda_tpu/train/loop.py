@@ -132,14 +132,28 @@ def run_training_loop(
     hooks: LoopHooks,
     mesh=None,
     rng_seed: int = 2333,
+    profile_dir: Optional[str] = None,
 ) -> TrainState:
-    """The per-iteration loop shared by all trainers (train_src.py:108-165)."""
+    """The per-iteration loop shared by all trainers (train_src.py:108-165).
+
+    ``profile_dir`` captures a jax.profiler device trace of steps 10-15
+    (viewable in TensorBoard/XProf) — the observability the reference lacks
+    (SURVEY §5: wall-clock logging only)."""
     key = jax.random.key(rng_seed)
     t0 = time.time()
     miou_max, iter_max = 0.0, 0
     if mesh is not None:
         state = shard_pytree_replicated(mesh, state)
     for i in range(stop_steps):
+        if profile_dir is not None and i == min(10, stop_steps - 2):
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir is not None and i == min(15, stop_steps - 1):
+            jax.tree.map(
+                lambda x: x.block_until_ready(), jax.tree.leaves(state.params)[0]
+            )
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {profile_dir}")
+            profile_dir = None
         batch_s = next(source_iter)
         batch_t = next(target_iter) if target_iter is not None else None
         if mesh is not None:
@@ -208,15 +222,19 @@ def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
 
 
 def make_source_iter(cfg: PairConfig, seed=0):
+    from uemda_tpu.datasets.prefetch import prefetch
+
     ds = SegDataset(
         cfg.meta, list(cfg.source.image_dir), list(cfg.source.mask_dir)[0]
     )
-    return infinite_batches(ds, cfg.source.batch_size, seed=seed), ds
+    return prefetch(infinite_batches(ds, cfg.source.batch_size, seed=seed)), ds
 
 
 def make_target_iter(
     cfg: PairConfig, label_type="none", mask_dir=None, read_sup=False, seed=1
 ):
+    from uemda_tpu.datasets.prefetch import prefetch
+
     ds = SegDataset(
         cfg.meta,
         list(cfg.target.image_dir),
@@ -224,7 +242,7 @@ def make_target_iter(
         label_type=label_type,
         read_sup=read_sup,
     )
-    return infinite_batches(ds, cfg.target.batch_size, seed=seed), ds
+    return prefetch(infinite_batches(ds, cfg.target.batch_size, seed=seed)), ds
 
 
 def default_hparams(cfg: PairConfig, **overrides) -> StageHParams:

@@ -51,3 +51,21 @@ def str2bool(v: str) -> bool:
     if str(v).lower() in ("no", "false", "f", "n", "0"):
         return False
     raise ValueError(f"unsupported boolean value: {v}")
+
+
+class BestLog:
+    """(tools.py:419-429) best-value tracker."""
+
+    def __init__(self, high: bool = True):
+        self.high = high
+        self.value = -999999.0 if high else 999999.0
+        self.iter = 0
+        self.log_str = ""
+
+    def update(self, val, it, log_str=""):
+        cond = (val >= self.value) if self.high else (val <= self.value)
+        if cond:
+            self.value = val
+            self.iter = it
+            self.log_str = log_str
+        return cond
