@@ -90,3 +90,43 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     l0 = jax.tree.leaves(variables)[0]
     r0 = jax.tree.leaves(restored)[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
+
+
+def test_evaluate_on_mesh_matches_single_device(setup):
+    root, model, variables = setup
+    import os
+
+    from uemda_tpu.parallel import make_mesh
+
+    ds = SegDataset(
+        IsprsDA, os.path.join(root, "img_dir", "val"),
+        os.path.join(root, "ann_dir", "val"),
+    )
+    _, miou1 = evaluate_dataset(
+        model, variables, ds, MEAN, STD, tile=(32, 32), batch_size=8,
+        compute_dtype="float32",
+    )
+    mesh = make_mesh(8)
+    _, miou8 = evaluate_dataset(
+        model, variables, ds, MEAN, STD, tile=(32, 32), batch_size=8,
+        compute_dtype="float32", mesh=mesh,
+    )
+    assert abs(miou1 - miou8) < 1e-6, (miou1, miou8)
+
+
+def test_pseudo_gen_on_mesh(setup, tmp_path):
+    root, model, variables = setup
+    import os
+
+    from uemda_tpu.parallel import make_mesh
+
+    ds = SegDataset(
+        IsprsDA, os.path.join(root, "img_dir", "train"), None, label_type="none"
+    )
+    probs = generate_pseudo_labels(
+        model, variables, ds, MEAN, STD, tile=(32, 32), tta=False,
+        batch_size=8, compute_dtype="float32", mesh=make_mesh(8),
+    )
+    assert len(probs) == 5
+    p = next(iter(probs.values()))
+    np.testing.assert_allclose(p.sum(-1), np.ones(p.shape[:2]), atol=2e-2)

@@ -32,6 +32,7 @@ def main():
     parser.add_argument("--tta", type=str2bool, default=0)
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--vis", type=str2bool, default=1)
+    parser.add_argument("--num-devices", type=int, default=None)
     args = parser.parse_args()
 
     cfg = load_config(args.config_path)
@@ -56,11 +57,16 @@ def main():
         if args.vis
         else None
     )
+    mesh = None
+    if (args.num_devices or 0) > 1:
+        from uemda_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices)
     summary, miou = evaluate_dataset(
         model, variables, dataset, split.mean, split.std, tile=cfg.crop,
         tta=bool(args.tta),
         batch_size=args.batch_size or split.batch_size,
-        vis_dir=vis_dir, logger=logger,
+        vis_dir=vis_dir, logger=logger, mesh=mesh,
     )
     print(json.dumps({"miou": miou, **{k: summary[k] for k in ("mf1", "mprecision", "mrecall")}}))
 

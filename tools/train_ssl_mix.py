@@ -90,6 +90,7 @@ def main():
             out_dir=pseudo_dir, tile=cfg.crop, tta=True,
             batch_size=min(4, cfg.target.batch_size),
             cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low, logger=logger,
+            mesh=mesh,
         )
         ds = SegDataset(
             cfg.meta, list(cfg.target.image_dir), pseudo_dir, label_type="prob"

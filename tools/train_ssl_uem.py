@@ -76,6 +76,8 @@ def main():
     logger = get_console_file_logger("train_ssl_uem", run_dir)
     logging_args(args, logger)
 
+    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+
     stop_steps = args.steps or cfg.stage3_steps
     model = build_model(cfg)
     variables = init_variables(model, cfg, seed=args.seed)
@@ -102,7 +104,7 @@ def main():
             out_dir=pseudo_dir, tile=cfg.crop, tta=True,
             batch_size=min(4, cfg.target.batch_size),
             cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low,
-            color_dir=pseudo_dir + "_color", logger=logger,
+            color_dir=pseudo_dir + "_color", logger=logger, mesh=mesh,
         )
 
     loss_name = {"ours": "uvem"}.get(args.lt, args.lt)
@@ -121,7 +123,6 @@ def main():
     )
     step_fn = make_ssl_step(model, hp)
 
-    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
     src_iter, _ = make_source_iter(cfg)
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
     tgt_ds = SegDataset(

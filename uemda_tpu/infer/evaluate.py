@@ -32,8 +32,18 @@ def evaluate_dataset(
     vis_dir: Optional[str] = None,
     compute_dtype: str = "bfloat16",
     logger=None,
+    mesh=None,
 ):
+    """``mesh``: optional data mesh — images shard across chips, variables
+    replicate; XLA partitions the whole slide+TTA program (the multi-chip
+    eval the single-GPU reference cannot express)."""
     meta = dataset.meta
+    if mesh is not None:
+        from uemda_tpu.parallel import shard_pytree_replicated
+
+        variables = shard_pytree_replicated(mesh, variables)
+        batch_size = max(batch_size, len(mesh.devices))
+        batch_size -= batch_size % len(mesh.devices)
     hw = None
     predictor = None
     cm = jnp.zeros((meta.num_classes, meta.num_classes), jnp.int32)
@@ -53,6 +63,10 @@ def evaluate_dataset(
         if n < batch_size:
             pad = batch_size - n
             images = jnp.concatenate([images, jnp.zeros((pad,) + images.shape[1:])])
+        if mesh is not None:
+            from uemda_tpu.parallel import shard_batch
+
+            images = shard_batch(mesh, images)
         probs = predictor(variables, images)[:n]
         pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         label = jnp.asarray(batch["label"])

@@ -40,10 +40,21 @@ def generate_pseudo_labels(
     keep_in_memory: bool = True,
     compute_dtype: str = "bfloat16",
     logger=None,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Returns {filename: (H, W, C) fp16 probs} (if keep_in_memory) and/or
-    writes ``<out_dir>/<filename>.npy`` per image."""
+    writes ``<out_dir>/<filename>.npy`` per image.
+
+    With ``mesh``, the batched slide+TTA pass shards images across chips —
+    the in-memory multi-chip replacement for the reference's per-image loop
+    + disk round-trip (pseudo_generation.py:96-155)."""
     meta = dataset.meta
+    if mesh is not None:
+        from uemda_tpu.parallel import shard_pytree_replicated
+
+        variables = shard_pytree_replicated(mesh, variables)
+        batch_size = max(batch_size, len(mesh.devices))
+        batch_size -= batch_size % len(mesh.devices)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     viz = VisualizeSegmm(color_dir, meta.palette) if color_dir else None
@@ -64,6 +75,10 @@ def generate_pseudo_labels(
             images = jnp.concatenate(
                 [images, jnp.zeros((batch_size - n,) + images.shape[1:])]
             )
+        if mesh is not None:
+            from uemda_tpu.parallel import shard_batch
+
+            images = shard_batch(mesh, images)
         probs = predictor(variables, images)[:n]  # (n, H, W, C) f32
         hard = None
         if viz is not None:
