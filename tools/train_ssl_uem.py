@@ -36,7 +36,7 @@ from uemda_tpu.train.loop import (
 from uemda_tpu.train.steps import make_ssl_step
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
 
-LOSS_CHOICES = ["ours", "uvem", "ohem", "focal", "ghm", "ups", "none", "ce"]
+LOSS_CHOICES = ["ours", "uvem", "ohem", "focal", "ghm", "gdp", "ups", "none", "ce"]
 
 
 from uemda_tpu.utils.runtime import enable_compile_cache

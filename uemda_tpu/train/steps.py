@@ -68,7 +68,7 @@ class StageHParams:
     cutoff_top: float = 0.8
     cutoff_low: float = 0.6
     pcl_temp: float = 8.0
-    target_loss: str = "uvem"  # 'uvem'|'ups'|'ohem'|'focal'|'ghm'|'ce'|'none'
+    target_loss: str = "uvem"  # 'uvem'|'ups'|'ohem'|'focal'|'ghm'|'gdp'|'ce'|'none'
     balance_target: bool = False
     uvem_m: float = 0.2
     uvem_t: float = 0.7
@@ -257,7 +257,7 @@ def _target_loss(hp: StageHParams, state, preds, label_hard, label_soft):
     balance = state.balance_t
     ghm = state.ghm
     pixel_weight = None
-    if hp.balance_target and hp.target_loss in ("uvem", "ups", "ce"):
+    if hp.balance_target and hp.target_loss in ("uvem", "ups", "ce", "gdp"):
         pixel_weight, balance = class_balance_weight(
             balance, label_hard, hp.ignore_label
         )
@@ -284,15 +284,21 @@ def _target_loss(hp: StageHParams, state, preds, label_hard, label_soft):
             lambda lg, lb: focal_loss(lg, lb, 2.0, hp.ignore_label),
             multi=True,
         )
-    elif hp.target_loss == "ghm":
+    elif hp.target_loss in ("ghm", "gdp"):
         # both heads share/advance the histogram state sequentially, like
-        # the reference calling the same GHMLoss module per head
+        # the reference calling the same GHM/GDP module per head
+        from uemda_tpu.alignment.losses import gdp_loss
+
+        fn = ghm_loss if hp.target_loss == "ghm" else (
+            lambda lg, lb, st, il: gdp_loss(
+                lg, lb, st, il, pixel_weight=pixel_weight,
+                n_weight_terms=1 + int(pixel_weight is not None),
+            )
+        )
         hw = label_hard.shape[-2:]
         total = 0.0
         for p in preds:
-            l, ghm = ghm_loss(
-                upsample_logits(p, hw), label_hard, ghm, hp.ignore_label
-            )
+            l, ghm = fn(upsample_logits(p, hw), label_hard, ghm, hp.ignore_label)
             total = total + l
         loss = total / len(preds)
     elif hp.target_loss == "ce":
