@@ -181,3 +181,44 @@ def test_loss_calc_multi_head_upsamples():
             tp, torch.from_numpy(labels).long(), ignore_index=-1, reduction="none"
         ).mean()
     np.testing.assert_allclose(float(got), float(want) / 2, rtol=1e-4)
+
+
+def _torch_gdp(logits, labels, acc_sum, bins=30, momentum=0.99):
+    """Golden GDP (balance.py:241-300), no extra pixel weights."""
+    preds = torch.from_numpy(logits.reshape(-1, logits.shape[-1]))
+    targets = torch.from_numpy(labels.reshape(-1)).long()
+    n_classes = preds.size(1)
+    probs = torch.softmax(preds, dim=1)
+    lbl = targets.clone()
+    lbl[lbl == -1] = n_classes
+    onehot = tnf.one_hot(lbl, num_classes=n_classes + 1)[:, :-1]
+    prob_y = torch.sum(probs * onehot, dim=1)
+    g = torch.abs(prob_y - 1.0)
+    g[targets == -1] = -1
+    edges = torch.FloatTensor([x / bins for x in range(bins + 1)])
+    edges[-1] += 1e-3
+    hist = torch.histc(g, bins=bins, min=0, max=1)
+    hist = (hist + torch.flip(hist, dims=[0])) * 0.5
+    inds = torch.bucketize(g, edges)
+    acc = momentum * torch.from_numpy(acc_sum) + (1 - momentum) * hist
+    dense = 1 - acc / (acc.sum() + 1e-7)
+    dense = torch.where(acc != 0, dense, torch.zeros_like(acc))
+    dense = dense / (dense.max() + 1e-7)
+    w = torch.zeros_like(g)
+    w = torch.where((inds > 0) & (inds <= bins), dense[inds - 1], w)
+    ce = tnf.cross_entropy(preds, targets, reduction="none", ignore_index=-1)
+    loss = (ce * w).sum() / (torch.sum(targets != -1) + 1e-7)
+    return float(loss), acc.numpy()
+
+
+def test_gdp_matches_torch_including_state():
+    from uemda_tpu.alignment.losses import gdp_loss
+
+    state = init_ghm(bins=30, momentum=0.99)
+    acc = np.zeros(30, np.float32)
+    for seed in (12, 13):
+        logits, labels = _rand_case(seed=seed)
+        want, acc = _torch_gdp(logits, labels, acc)
+        got, state = gdp_loss(jnp.asarray(logits), jnp.asarray(labels), state)
+        np.testing.assert_allclose(float(got), want, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(state.acc_sum), acc, rtol=1e-5)

@@ -37,9 +37,12 @@ def freeze_mask(params, freeze_at: int):
 
     def label(path, _):
         keys = [getattr(p, "key", None) for p in path]
-        in_encoder = "encoder" in keys
-        if in_encoder and any(k in frozen_names for k in keys):
-            return False
+        # only the stage subtree DIRECTLY under 'encoder' counts — block-
+        # internal conv1/bn1 names must not match the stem's conv1/bn1
+        if "encoder" in keys:
+            i = keys.index("encoder")
+            if i + 1 < len(keys) and keys[i + 1] in frozen_names:
+                return False
         return True
 
     return jax.tree_util.tree_map_with_path(label, params)
