@@ -169,3 +169,61 @@ def test_converter_tiling_and_lut():
     assert ids[0, 0] == 1  # white -> 1
     assert ids[0, 2] == 2  # red (clutter LUT slot) -> 2
     assert ids[0, 1] == 0  # blue -> 6 -> merged to 0 (reference quirk)
+
+
+def test_mmd_rbf_vs_torch():
+    from uemda_tpu.alignment.mmd import mmd_linear, mmd_rbf
+
+    rng = np.random.default_rng(4)
+    s = rng.standard_normal((10, 8)).astype(np.float32)
+    t = rng.standard_normal((12, 8)).astype(np.float32)
+    # torch golden (mmd.py:24-58)
+    ts, tt = torch.from_numpy(s), torch.from_numpy(t)
+    total = torch.cat([ts, tt], 0)
+    t0 = total.unsqueeze(0).expand(22, 22, 8)
+    t1 = total.unsqueeze(1).expand(22, 22, 8)
+    l2 = ((t0 - t1) ** 2).sum(2)
+    bw = torch.sum(l2) / (22 * 22 - 22) / (2.0 ** (5 // 2))
+    kern = sum(torch.exp(-l2 / (bw * 2.0 ** i)) for i in range(5))
+    want = float(
+        kern[:10, :10].mean() + kern[10:, 10:].mean()
+        - kern[:10, 10:].mean() - kern[10:, :10].mean()
+    )
+    got = float(mmd_rbf(jnp.asarray(s), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # linear
+    delta = ts.float().mean(0) - tt.float().mean(0)
+    np.testing.assert_allclose(
+        float(mmd_linear(jnp.asarray(s), jnp.asarray(t))),
+        float(delta.dot(delta) / 8), rtol=1e-5,
+    )
+
+
+def test_saw_and_msc_run():
+    from uemda_tpu.alignment.msc import msc_loss
+    from uemda_tpu.alignment.saw import saw_loss
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.standard_normal((2, 4, 4, 16)), jnp.float32)
+    wts = jnp.asarray(rng.standard_normal((6, 16)), jnp.float32)
+    l = float(saw_loss(feats, wts, selected_classes=[0, 1, 2, 3]))
+    assert np.isfinite(l) and l >= 0
+    s = jnp.asarray(rng.standard_normal((20, 8)), jnp.float32)
+    sl = jnp.asarray(rng.integers(0, 3, 20), jnp.int32)
+    t = jnp.asarray(rng.standard_normal((15, 8)), jnp.float32)
+    lm = float(msc_loss(s, sl, t, num_classes=3))
+    assert np.isfinite(lm) and lm >= 0
+
+
+def test_domain_balance(tmp_path):
+    from uemda_tpu.alignment.domain_balance import examples_cnt, get_target_weight
+    from uemda_tpu.datasets.base import SegDataset
+    from uemda_tpu.datasets.meta import IsprsDA
+    from uemda_tpu.datasets.synthetic import make_synthetic_dataset
+
+    img_dir, ann_dir = make_synthetic_dataset(str(tmp_path), IsprsDA, 3, 1, hw=32)
+    ds = SegDataset(IsprsDA, img_dir, ann_dir)
+    cnt, ratio = examples_cnt(ds)
+    assert cnt == 3 * 32 * 32 and ratio == 1.0
+    np.testing.assert_allclose(get_target_weight(100, 1.0, 50, 1.0), 0.5, rtol=1e-6)
+    assert get_target_weight(50, 1.0, 100, 1.0) == 1.0
