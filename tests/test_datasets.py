@@ -115,3 +115,15 @@ def test_augment_is_joint_image_label():
     np.testing.assert_allclose(
         np.asarray(out["image"][..., 0]), np.asarray(out["label"]).astype(np.float32)
     )
+
+
+def test_kfold_indices_partition():
+    from uemda_tpu.datasets.base import kfold_indices
+
+    train, val = kfold_indices(20, k=5, fold=2)
+    assert len(train) == 16 and len(val) == 4
+    assert set(train) | set(val) == set(range(20))
+    assert set(train) & set(val) == set()
+    # fold=-1 disables CV (all train), like the reference configs
+    train, val = kfold_indices(10, fold=-1)
+    assert len(train) == 10 and len(val) == 0

@@ -227,3 +227,44 @@ def test_domain_balance(tmp_path):
     assert cnt == 3 * 32 * 32 and ratio == 1.0
     np.testing.assert_allclose(get_target_weight(100, 1.0, 50, 1.0), 0.5, rtol=1e-6)
     assert get_target_weight(50, 1.0, 100, 1.0) == 1.0
+
+
+def test_extra_losses_vs_torch():
+    from uemda_tpu.alignment.extra_losses import (
+        entropy_loss,
+        kld_loss,
+        mixup,
+        som,
+    )
+
+    rng = np.random.default_rng(6)
+    # som: mean of top-half entries (tools.py:291-302)
+    loss_vec = jnp.asarray(rng.random(10), jnp.float32)
+    top = np.sort(np.asarray(loss_vec))[::-1][:5]
+    np.testing.assert_allclose(
+        float(som(loss_vec, 0.5)), top.sum() / ((top != 0).sum() + 1e-6), rtol=1e-5
+    )
+    # entropy/kld vs torch formulas (tools.py:376-398)
+    logits = rng.standard_normal((2, 4, 4, 6)).astype(np.float32)
+    weight = rng.random((2, 4, 4, 1)).astype(np.float32)
+    tl = torch.from_numpy(logits.transpose(0, 3, 1, 2))
+    twt = torch.from_numpy(weight.transpose(0, 3, 1, 2))
+    logp = torch.log_softmax(tl, dim=1)
+    ent = -torch.softmax(tl, 1) * twt * logp
+    want_e = float(ent.sum() / (twt > 0).sum())
+    np.testing.assert_allclose(
+        float(entropy_loss(jnp.asarray(logits), jnp.asarray(weight))),
+        want_e, rtol=1e-5,
+    )
+    want_k = float((-1 / 6 * twt * logp).sum() / (twt > 0).sum())
+    np.testing.assert_allclose(
+        float(kld_loss(jnp.asarray(logits), jnp.asarray(weight))), want_k, rtol=1e-5
+    )
+    # mixup keeps image/label rows in lockstep
+    s_img = jnp.asarray(np.broadcast_to(np.arange(8, dtype=np.float32)[None, :, None, None], (2, 8, 8, 3)).copy())
+    t_img = s_img + 100
+    s_lab = jnp.asarray(np.broadcast_to(np.arange(8)[None, :, None], (2, 8, 8)).copy().astype(np.int32))
+    t_lab = s_lab + 100
+    ns_img, ns_lab, nt_img, nt_lab = mixup(jax.random.key(0), s_img, s_lab, t_img, t_lab)
+    np.testing.assert_allclose(np.asarray(ns_img[..., 0]), np.asarray(ns_lab).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(nt_img[..., 0]), np.asarray(nt_lab).astype(np.float32))

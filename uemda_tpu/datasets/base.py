@@ -107,3 +107,17 @@ def sequential_batches(dataset: SegDataset, batch_size: int = 1):
     for i in range(0, len(dataset), batch_size):
         idx = list(range(i, min(i + batch_size, len(dataset))))
         yield idx, dataset.batch(idx)
+
+
+def kfold_indices(n: int, k: int = 10, fold: int = 0, seed: int = 2333):
+    """Deterministic k-fold split (train_idx, val_idx) — the equivalent of
+    ever's CrossValSamplerGenerator behind DALoader's CV config
+    (``daLoader.py:38-48``; disabled in all shipped configs via i=-1)."""
+    if fold < 0:
+        return np.arange(n), np.arange(0)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    folds = np.array_split(perm, k)
+    val = folds[fold % k]
+    train = np.concatenate([f for j, f in enumerate(folds) if j != fold % k])
+    return train, val
