@@ -209,3 +209,58 @@ def test_deeplab_eval_parity(resnet_type, block, layers, hw):
 
     got = np.asarray(jmodel.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+class TBottleG(tnn.Module):
+    """Grouped bottleneck (ResNeXt)."""
+
+    expansion = 4
+
+    def __init__(self, inp, planes, stride=1, dilation=1, downsample=None,
+                 groups=32, base_width=4):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = tnn.Conv2d(inp, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, dilation, dilation,
+                                groups=groups, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = tnf.relu(self.bn1(self.conv1(x)))
+        y = tnf.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return tnf.relu(y + idn)
+
+
+def test_resnext_grouped_conv_parity():
+    """ResNeXt-50 32x4d encoder vs torch golden with identical weights —
+    validates feature_group_count mapping for grouped convolutions."""
+    from uemda_tpu.models import ResNetEncoder
+    from uemda_tpu.models.port_torch import port_resnet_backbone
+
+    tmodel = _randomize(TResNet(TBottleG, (3, 4, 6, 3), output_stride=16)).eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = port_resnet_backbone(sd)
+
+    enc = ResNetEncoder(BackboneConfig(resnet_type="resnext50_32x4d", output_stride=16))
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    ref_vars = enc.init(jax.random.key(0), jnp.asarray(x), train=False)
+    got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, {"params": params, "batch_stats": stats})
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref_vars)
+    assert got_shapes == ref_shapes
+
+    with torch.no_grad():
+        want = (
+            tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1).numpy()
+        )
+    got = np.asarray(
+        enc.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)[-1]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
