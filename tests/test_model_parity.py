@@ -264,3 +264,55 @@ def test_resnext_grouped_conv_parity():
         enc.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)[-1]
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+class TDeepStem(tnn.Module):
+    """v1c deep-stem resnet trunk (3x 3x3 stem convs)."""
+
+    def __init__(self, block, layers):
+        super().__init__()
+        self.stem = tnn.Sequential(
+            tnn.Conv2d(3, 32, 3, 2, 1, bias=False), tnn.BatchNorm2d(32), tnn.ReLU(),
+            tnn.Conv2d(32, 32, 3, 1, 1, bias=False), tnn.BatchNorm2d(32), tnn.ReLU(),
+            tnn.Conv2d(32, 64, 3, 1, 1, bias=False), tnn.BatchNorm2d(64), tnn.ReLU(),
+        )
+        self.trunk = TResNet(block, layers, output_stride=16)
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = self.trunk.maxpool(x)
+        x = self.trunk.layer1(x)
+        x = self.trunk.layer2(x)
+        x = self.trunk.layer3(x)
+        return self.trunk.layer4(x)
+
+
+def test_v1c_deep_stem_parity():
+    from uemda_tpu.models import ResNetEncoder
+    from uemda_tpu.models.port_torch import port_resnet_backbone
+
+    tmodel = _randomize(TDeepStem(TBottle, (3, 4, 6, 3))).eval()
+    # build torchvision-v1c-style names: stem.{0,1,3,4,6,7}, layerN.B....
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        k = k.replace("trunk.", "")
+        sd[k] = v.numpy()
+    params, stats = port_resnet_backbone(sd, deep_stem=True)
+
+    enc = ResNetEncoder(BackboneConfig(resnet_type="resnet50_v1c", output_stride=16))
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    ref_vars = enc.init(jax.random.key(0), jnp.asarray(x), train=False)
+    got_shapes = jax.tree.map(
+        lambda a: np.asarray(a).shape, {"params": params, "batch_stats": stats}
+    )
+    assert got_shapes == jax.tree.map(lambda a: a.shape, ref_vars)
+
+    with torch.no_grad():
+        want = (
+            tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        )
+    got = np.asarray(
+        enc.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)[-1]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
