@@ -8,7 +8,7 @@ across data-parallel replicas before the EMA — see
 ``uemda_tpu.parallel``).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.struct
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ modules, kept for API parity).
   mining) with vectorized masked max/min.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

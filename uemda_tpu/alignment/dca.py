@@ -7,8 +7,6 @@ loop over audtorch ``pearsonr`` calls (``dca_modules.py:40-57``); here it is
 one vectorized correlation of the centered context matrix — an MXU GEMM.
 """
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 

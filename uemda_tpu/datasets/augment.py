@@ -16,7 +16,7 @@ Both reference pipelines are reproduced:
     applied in lockstep to image + soft label + superpixel map.
 """
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

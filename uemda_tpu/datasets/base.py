@@ -9,7 +9,7 @@ ever's ``Iterator`` wrapper (``tools/train_src.py:20``).
 """
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -9,7 +9,6 @@ ids through the dot-product LUT with clutter merged into background
 (convert_potsdam.py:78-91).
 """
 
-import math
 import os
 import os.path as osp
 from typing import List, Tuple

@@ -18,7 +18,7 @@ RAM and let the device do augmentation (see ``uemda_tpu.datasets.augment``).
 
 import glob as _glob
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 from PIL import Image

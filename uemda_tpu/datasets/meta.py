@@ -9,7 +9,7 @@ config constants (``configs/ToVaihingen.py:51-53,73-75``,
 
 import dataclasses
 from collections import OrderedDict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

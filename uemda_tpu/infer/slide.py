@@ -15,8 +15,7 @@ The eval-mode model already returns averaged head softmax at tile resolution
 """
 
 import math
-from functools import partial
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

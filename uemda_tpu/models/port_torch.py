@@ -21,7 +21,7 @@ This module is torch-free at import time: state dicts are accepted as
 """
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ All convolutions use explicit torch-style padding so spatial maps match the
 reference exactly (XLA 'SAME' pads asymmetrically for even sizes).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,8 +8,7 @@ the segmenter is additionally trained to fool the discriminator on target
 head outputs; the discriminator distinguishes source vs target softmax maps.
 """
 
-import dataclasses
-from typing import Any, Tuple
+from typing import Any
 
 import flax.struct
 import jax

@@ -10,7 +10,7 @@ exact. Torch-format reference checkpoints load via
 """
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import flax.serialization
 import jax

@@ -21,14 +21,13 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from uemda_tpu.config import PairConfig
 from uemda_tpu.datasets.base import SegDataset, infinite_batches
 from uemda_tpu.infer.evaluate import evaluate_dataset
 from uemda_tpu.models import DeeplabV2, DeeplabV2Config
 from uemda_tpu.models.port_torch import load_torch_state_dict, port_imagenet_backbone
-from uemda_tpu.parallel import make_mesh, shard_batch, shard_pytree_replicated
+from uemda_tpu.parallel import shard_batch, shard_pytree_replicated
 from uemda_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from uemda_tpu.train.lr import poly_warmup_schedule
 from uemda_tpu.train.optim import make_optimizer

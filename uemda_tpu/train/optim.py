@@ -11,10 +11,9 @@ Stage freezing (``uemda/resnet.py:119-130`` freeze_at) becomes an update
 mask: frozen subtrees receive zero updates.
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 

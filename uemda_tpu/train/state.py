@@ -9,7 +9,6 @@ function (state, batch, rng) -> state — jittable, shardable, checkpointable.
 from typing import Any, Optional
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -23,8 +23,7 @@ replicated; XLA inserts the grad/statistics all-reduces.
 """
 
 import dataclasses
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
