@@ -316,3 +316,39 @@ def test_v1c_deep_stem_parity():
         enc.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)[-1]
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+class TASPP(tnn.Module):
+    def __init__(self, inplanes, num_classes, dilations=(6, 12, 18, 24)):
+        super().__init__()
+        self.conv2d_list = tnn.ModuleList(
+            tnn.Conv2d(inplanes, num_classes, 3, 1, d, d, bias=True)
+            for d in dilations
+        )
+
+    def forward(self, x):
+        out = self.conv2d_list[0](x)
+        for m in self.conv2d_list[1:]:
+            out = out + m(x)
+        return out
+
+
+def test_aspp_head_parity():
+    from uemda_tpu.models.heads import ASPPHead
+
+    tmodel = _randomize(TASPP(32, 6)).eval()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 16, 16, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            .permute(0, 2, 3, 1).numpy()
+        )
+    head = ASPPHead(6)
+    params = {"params": {}}
+    for i, d in enumerate((6, 12, 18, 24)):
+        w = tmodel.conv2d_list[i].weight.detach().numpy().transpose(2, 3, 1, 0)
+        b = tmodel.conv2d_list[i].bias.detach().numpy()
+        params["params"][f"aspp_d{d}"] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    got = np.asarray(head.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
