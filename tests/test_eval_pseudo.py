@@ -130,3 +130,27 @@ def test_pseudo_gen_on_mesh(setup, tmp_path):
     assert len(probs) == 5
     p = next(iter(probs.values()))
     np.testing.assert_allclose(p.sum(-1), np.ones(p.shape[:2]), atol=2e-2)
+
+
+def test_analyze_pseudo_labels(setup, tmp_path):
+    """Perfect pseudo labels -> accuracy 1.0; coverage reflects mining."""
+    import os
+
+    from uemda_tpu.datasets.io import save_prob
+    from uemda_tpu.infer.analysis import analyze_pseudo_labels
+
+    root, _, _ = setup
+    label_dir = os.path.join(root, "ann_dir", "val")
+    img_dir = os.path.join(root, "img_dir", "val")
+    ds = SegDataset(IsprsDA, img_dir, label_dir)
+    pseudo_dir = tmp_path / "probs"
+    pseudo_dir.mkdir()
+    for i in range(len(ds)):
+        gt = ds.item(i)["label"]
+        onehot = np.eye(6, dtype=np.float32)[gt]  # confident & correct
+        probs = onehot * 0.94 + 0.01
+        save_prob(str(pseudo_dir / ds.filename(i)), probs)
+    report = analyze_pseudo_labels(label_dir, str(pseudo_dir), IsprsDA)
+    assert report["accuracy"] > 0.99
+    assert report["coverage"] > 0.99
+    assert len(report["bin_count"]) == 10

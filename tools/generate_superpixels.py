@@ -23,7 +23,7 @@ from uemda_tpu.superpixels import superpixels_with_shrink
 
 
 def process_dir(dir_path: str, out_dir: str, region_size=16, ratio=0.075,
-                iterations=100, win_size=3, vis=True):
+                iterations=100, win_size=3, vis=True, algo="lsc"):
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(out_dir + "_shrink", exist_ok=True)
     if vis:
@@ -33,7 +33,7 @@ def process_dir(dir_path: str, out_dir: str, region_size=16, ratio=0.075,
     for i, p in enumerate(paths):
         img = read_image(p)
         n, labels, shrunk = superpixels_with_shrink(
-            img.astype(np.uint8), region_size, ratio, iterations, win_size
+            img.astype(np.uint8), region_size, ratio, iterations, win_size, algo
         )
         stem = os.path.splitext(os.path.basename(p))[0]
         Image.fromarray(labels.astype(np.uint16)).save(
@@ -64,9 +64,10 @@ def main():
     parser.add_argument("--ratio", type=float, default=0.075)
     parser.add_argument("--iterations", type=int, default=100)
     parser.add_argument("--win-size", type=int, default=3)
+    parser.add_argument("--algo", choices=["lsc", "slic"], default="lsc")
     args = parser.parse_args()
     process_dir(args.img_dir, args.out_dir, args.region_size, args.ratio,
-                args.iterations, args.win_size)
+                args.iterations, args.win_size, algo=args.algo)
 
 
 if __name__ == "__main__":

@@ -38,13 +38,15 @@ def _load():
                 check=True,
             )
         lib = ctypes.CDLL(_SO)
-        lib.slic_superpixels.restype = ctypes.c_int
-        lib.slic_superpixels.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_float, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
+        for fn_name in ("slic_superpixels", "lsc_superpixels"):
+            fn = getattr(lib, fn_name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
         lib.edge_shrink.restype = None
         lib.edge_shrink.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
@@ -60,14 +62,18 @@ def slic_superpixels(
     region_size: int = 16,
     ratio: float = 0.075,
     iterations: int = 100,
+    algo: str = "lsc",
 ) -> Tuple[int, np.ndarray]:
     """(H, W, 3) uint8 RGB -> (n_superpixels, (H, W) int32 label map).
-    Parameter defaults mirror the reference LSC call (superpixels.py:106)."""
+    algo='lsc' (default, the reference's algorithm) runs kernelized linear
+    spectral clustering; algo='slic' runs plain SLIC. Parameter defaults
+    mirror the reference LSC call (superpixels.py:106)."""
     lib = _load()
     img = np.ascontiguousarray(image[..., :3], dtype=np.uint8)
     h, w = img.shape[:2]
     labels = np.empty((h, w), np.int32)
-    n = lib.slic_superpixels(
+    fn = lib.lsc_superpixels if algo == "lsc" else lib.slic_superpixels
+    n = fn(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h, w, region_size, ctypes.c_float(ratio), iterations,
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -101,10 +107,11 @@ def superpixels_with_shrink(
     ratio: float = 0.075,
     iterations: int = 100,
     win_size: int = 3,
+    algo: str = "lsc",
 ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Full offline product: (n, labels, shrunk labels with boundary id =
     (h/rs)*(w/rs), as consumed by the 's' refinement view)."""
-    n, labels = slic_superpixels(image, region_size, ratio, iterations)
+    n, labels = slic_superpixels(image, region_size, ratio, iterations, algo)
     h, w = labels.shape
     boundary = (h // region_size) * (w // region_size)
     shrunk = edge_shrink(labels, win_size, boundary)
