@@ -127,3 +127,15 @@ def test_kfold_indices_partition():
     # fold=-1 disables CV (all train), like the reference configs
     train, val = kfold_indices(10, fold=-1)
     assert len(train) == 10 and len(val) == 0
+
+
+def test_prefetch_iterator_order_and_termination():
+    from uemda_tpu.datasets.prefetch import prefetch
+
+    out = list(prefetch(iter(range(10)), depth=3))
+    assert out == list(range(10))
+    # infinite source: pulls keep working
+    import itertools
+
+    it = prefetch(itertools.count(), depth=2)
+    assert [next(it) for _ in range(5)] == [0, 1, 2, 3, 4]
