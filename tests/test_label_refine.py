@@ -117,3 +117,40 @@ def test_label_refine_neighbor_view_runs():
     )
     assert out.shape == soft.shape
     np.testing.assert_allclose(out.sum(-1), np.ones((B, HO, WO)), atol=1e-4)
+
+
+def test_label_refine_neighbor_view_matches_golden():
+    """'n' view vs torch re-derivation (alignment.py:260-286)."""
+    feat, proto, preds, soft, sup = _case(seed=2)
+    state = init_aligner(C, K, prototypes=jnp.asarray(proto))
+    topk = 3
+    got = np.asarray(
+        label_refine(
+            state, jnp.asarray(soft), jnp.asarray(feat),
+            [jnp.asarray(p) for p in preds], mode="n", temp=2.0, topk=topk,
+        )
+    )
+
+    tf_feat = torch.from_numpy(feat.reshape(-1, K))
+    tsoft = torch.from_numpy(soft.transpose(0, 3, 1, 2))
+    simi = 1.0 / (torch.cdist(tf_feat, tf_feat) + 1e-7)
+    _, topk_idx = torch.topk(simi, k=topk + 1, dim=-1)
+    proto_simi = 1.0 / _torch_pearson(tf_feat, torch.from_numpy(proto))
+    hard = torch.argmax(proto_simi.view(B, H, W, C).permute(0, 3, 1, 2), dim=1)
+    label_repeat = hard.reshape(-1, 1).repeat(1, topk)
+    topk_cls = torch.gather(label_repeat, 0, topk_idx[:, 1:])
+    import torch.nn.functional as F
+
+    onehot = F.one_hot(topk_cls, num_classes=C)
+    importance = torch.ones(1, topk, 1)
+    for i in range(topk):
+        importance[0][i][0] = 1 - i / topk
+    cls_num = torch.sum(onehot * importance, dim=1)
+    ratio = cls_num / (cls_num.sum(-1, keepdim=True) + 1e-7)
+    w = torch.softmax(ratio / 2.0, dim=-1)
+    w = w / (1e-7 + w.max(dim=1, keepdim=True)[0])
+    w = w.reshape(B, H, W, C).permute(0, 3, 1, 2)
+    w = tnf.interpolate(w, (HO, WO), mode="bilinear", align_corners=True)
+    out = w * tsoft
+    out = (out / (out.sum(1, keepdim=True) + 1e-7)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, out, rtol=2e-3, atol=2e-4)
