@@ -152,3 +152,42 @@ def test_data_parallel_mesh_matches_single_device():
     l1 = jax.tree.leaves(state1.params)[0]
     l2 = jax.tree.leaves(state2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-3, atol=1e-5)
+
+
+def test_full_state_checkpoint_exact_resume(tmp_path):
+    """Save the FULL TrainState (params+opt+aligner+balance+ghm) mid-run,
+    restore, continue — must match an uninterrupted run bit-for-bit."""
+    import jax.numpy as jnp2
+
+    from uemda_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+    model, variables = _tiny_model()
+    hp = _hp(align_domain=False)
+    step = make_src_step(model, hp)
+    bs, bt, _ = _batches(seed=8)
+    tgt = {"image": bt["image"]}
+
+    def fresh():
+        return _state(jax.tree.map(jnp2.copy, variables))
+
+    # uninterrupted: 5 steps
+    s_full = fresh()
+    for i in range(5):
+        s_full, _ = step(s_full, bs, tgt, jax.random.key(i))
+
+    # interrupted: 3 steps -> checkpoint -> restore -> 2 steps
+    s_a = fresh()
+    for i in range(3):
+        s_a, _ = step(s_a, bs, tgt, jax.random.key(i))
+    path = str(tmp_path / "full_state.msgpack")
+    save_checkpoint(path, s_a)
+    s_b = load_checkpoint(path, fresh())
+    for i in range(3, 5):
+        s_b, _ = step(s_b, bs, tgt, jax.random.key(i))
+
+    assert int(s_full.step) == int(s_b.step) == 5
+    for la, lb in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(
+        np.asarray(s_full.balance_s.freq), np.asarray(s_b.balance_s.freq)
+    )
