@@ -214,3 +214,58 @@ def test_whitening_reference_fixture():
         class_ware_whitening_loss(jnp.asarray(feats), jnp.asarray(labels), [1, 2], groups=1)
     )
     np.testing.assert_allclose(loss, 12.4375, rtol=1e-5)
+
+
+def test_update_prototype_by_target_matches_golden():
+    """alignment.py:92-105: soft-label-weighted feature means, EMA'd."""
+    from uemda_tpu.alignment.prototypes import update_prototype_by_target
+
+    rng = np.random.default_rng(8)
+    c, k, b, h, w = 4, 8, 2, 2, 2
+    ho, wo = 8, 8
+    state = init_aligner(c, k, decay=0.9)
+    state = state.replace(
+        prototypes=jnp.asarray(rng.standard_normal((c, k)), jnp.float32)
+    )
+    feat = rng.standard_normal((b, h, w, k)).astype(np.float32)
+    raw = rng.standard_normal((b, ho, wo, c)).astype(np.float32)
+    e = np.exp(raw)
+    soft = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+    new = update_prototype_by_target(state, jnp.asarray(feat), jnp.asarray(soft))
+
+    tf_ = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+    ts = torch.from_numpy(soft.transpose(0, 3, 1, 2))
+    f_flat = tf_.permute(0, 2, 3, 1).reshape(-1, 1, k)
+    s_down = tnf.interpolate(ts, size=(h, w), mode="bilinear", align_corners=True)
+    s_flat = s_down.permute(0, 2, 3, 1).reshape(-1, c, 1)
+    local = torch.mean(f_flat * s_flat, dim=0)  # (c, k)
+    want = 0.1 * local.numpy() + 0.9 * np.asarray(state.prototypes)
+    np.testing.assert_allclose(np.asarray(new.prototypes), want, rtol=1e-4, atol=1e-5)
+
+
+def test_prototype_weight_for_pixels_matches_golden():
+    """alignment.py:295-309."""
+    from uemda_tpu.alignment.prototypes import prototype_weight_for_pixels
+
+    rng = np.random.default_rng(9)
+    c, k, b, h, w = 4, 8, 1, 2, 2
+    ho, wo = 8, 8
+    proto = rng.standard_normal((c, k)).astype(np.float32)
+    state = init_aligner(c, k).replace(prototypes=jnp.asarray(proto))
+    feat = rng.standard_normal((b, h, w, k)).astype(np.float32)
+    label = rng.integers(-1, c, size=(b, ho, wo)).astype(np.int32)
+    got = np.asarray(
+        prototype_weight_for_pixels(state, jnp.asarray(feat), jnp.asarray(label), c)
+    )
+
+    tf_feat = torch.from_numpy(feat.reshape(-1, k))
+    simi = 1.0 / _torch_pearson(tf_feat, torch.from_numpy(proto))
+    simi = simi.view(b, h, w, c).permute(0, 3, 1, 2)
+    simi = tnf.interpolate(simi, (ho, wo), mode="bilinear", align_corners=True)
+    simi = torch.softmax(simi, dim=1)
+    simi = simi / (simi.max(dim=1, keepdim=True)[0] + 1e-7)
+    lbl = torch.from_numpy(label).long().clone()
+    lbl[lbl == -1] = c
+    oh = tnf.one_hot(lbl, num_classes=c + 1)[..., :-1].permute(0, 3, 1, 2).float()
+    want = (simi * oh).sum(1).reshape(-1).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
