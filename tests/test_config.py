@@ -1,0 +1,51 @@
+"""Config system: presets, dotted resolution, user files, snapshots."""
+
+import json
+import os
+
+import pytest
+
+from uemda_tpu.config import PRESETS, load_config, snapshot_config
+
+
+def test_presets_cover_all_pairs():
+    assert set(PRESETS) == {"2vaihingen", "2potsdam", "2urban", "2rural"}
+    v = PRESETS["2vaihingen"]
+    assert v.class_num == 6 and v.ignore_label == -1
+    assert v.stage1_steps == 4000 and v.stage2_steps == 6000
+    assert v.cutoff_top == 0.8 and v.cutoff_low == 0.6
+    assert v.crop == (512, 512)
+    u = PRESETS["2urban"]
+    assert u.class_num == 7 and u.crop == (512, 512)
+    # source norm stats follow the domain (ToVaihingen.py:51-53)
+    assert abs(v.source.mean[0] - 97.4603) < 1e-3
+    assert abs(v.target.mean[0] - 120.8217) < 1e-3
+
+
+def test_dotted_reference_form_resolves():
+    cfg = load_config("st.uemda.2vaihingen")
+    assert cfg.name == "2vaihingen"
+
+
+def test_unknown_config_raises_with_choices():
+    with pytest.raises(KeyError, match="2vaihingen"):
+        load_config("nope")
+
+
+def test_snapshot_and_postfix(tmp_path):
+    cfg = load_config("2vaihingen", snapshot_postfix="/src")
+    assert cfg.snapshot_dir.endswith("/src")
+    snapshot_config(cfg, str(tmp_path))
+    data = json.loads((tmp_path / "config.json").read_text())
+    assert data["name"] == "2vaihingen"
+
+
+def test_user_config_file(tmp_path):
+    p = tmp_path / "mycfg.py"
+    p.write_text(
+        "from uemda_tpu.config import PRESETS\n"
+        "import dataclasses\n"
+        "CONFIG = dataclasses.replace(PRESETS['2vaihingen'], stage1_steps=7)\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.stage1_steps == 7

@@ -9,6 +9,17 @@ sliding-window/TTA inference, and device-resident pseudo-label mining —
 designed for SPMD execution over TPU meshes rather than single-GPU loops.
 
 Layout convention: images are NHWC, labels are (B, H, W) int32 with -1 ignore.
+
+Quick start::
+
+    from uemda_tpu.config import load_config
+    from uemda_tpu.train.loop import build_model, init_variables
+    cfg = load_config("2vaihingen")
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["config", "datasets", "models", "ops", "alignment", "train",
+           "infer", "parallel", "superpixels", "utils"]
