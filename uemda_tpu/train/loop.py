@@ -188,9 +188,11 @@ def run_training_loop(
 
 
 def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
-                   tta: bool = False, test: bool = False):
+                   tta: bool = False, test: bool = False, vis: bool = False):
     """Standard eval-on-val hook with curr/best checkpointing
-    (train_src.py:151-163)."""
+    (train_src.py:151-163). ``vis=True`` additionally dumps palette PNGs per
+    eval like the reference (utils/eval.py:51-53) — off by default, the
+    1-core host pays ~10 ms/image for PNG encoding."""
     split = cfg.test if test else cfg.val
     dataset = SegDataset(
         cfg.meta, list(split.image_dir), list(split.mask_dir)[0]
@@ -204,6 +206,10 @@ def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
         _, miou = evaluate_dataset(
             model, variables_of(state), dataset, split.mean, split.std,
             tile=cfg.crop, tta=tta, batch_size=split.batch_size, logger=logger,
+            vis_dir=(
+                os.path.join(run_dir, f"vis-{cfg.target_set}_curr")
+                if vis else None
+            ),
         )
         return miou
 
