@@ -268,3 +268,25 @@ def test_extra_losses_vs_torch():
     ns_img, ns_lab, nt_img, nt_lab = mixup(jax.random.key(0), s_img, s_lab, t_img, t_lab)
     np.testing.assert_allclose(np.asarray(ns_img[..., 0]), np.asarray(ns_lab).astype(np.float32))
     np.testing.assert_allclose(np.asarray(nt_img[..., 0]), np.asarray(nt_lab).astype(np.float32))
+
+
+def test_fc_discriminator_local_and_mmd_eval():
+    from uemda_tpu.models.discriminator import DeeplabV2MMD, FCDiscriminatorLocal
+    from uemda_tpu.models.config import BackboneConfig
+
+    d = FCDiscriminatorLocal(ndf=16)
+    x = jnp.ones((1, 32, 32, 6 + 64))
+    v = d.init(jax.random.key(0), x)
+    out = d.apply(v, x)
+    # 3 stride-2 convs + classifier stride-2 -> 2x2, then x32 upsample
+    assert out.shape == (1, 64, 64, 1)
+
+    m = DeeplabV2MMD(
+        backbone=BackboneConfig(resnet_type="resnet18"), num_classes=6,
+        inchannels=512,
+    )
+    xi = jnp.ones((1, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0)}, xi, train=False)
+    prob = m.apply(v, xi, train=False)
+    assert prob.shape == (1, 64, 64, 6)
+    np.testing.assert_allclose(np.asarray(prob.sum(-1)), 1.0, atol=1e-4)
