@@ -290,3 +290,23 @@ def test_fc_discriminator_local_and_mmd_eval():
     prob = m.apply(v, xi, train=False)
     assert prob.shape == (1, 64, 64, 6)
     np.testing.assert_allclose(np.asarray(prob.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_spixelnet_and_alt_superpixels():
+    from uemda_tpu.superpixels.alt import grid_superpixels, slic_on_projection
+    from uemda_tpu.superpixels.spixelnet import SpixelNet
+
+    m = SpixelNet()
+    v = m.init({"params": jax.random.key(0)}, jnp.ones((1, 64, 64, 3)), train=False)
+    out = m.apply(v, jnp.ones((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 64, 64, 9)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-4)
+
+    g = grid_superpixels((64, 64), 16)
+    assert g.max() == 15 and g.shape == (64, 64)
+    rng = np.random.default_rng(0)
+    n, labels = slic_on_projection(
+        rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+        rng.integers(0, 3, (64, 64)), iterations=5,
+    )
+    assert labels.shape == (64, 64) and n >= 1

@@ -191,3 +191,16 @@ def test_full_state_checkpoint_exact_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s_full.balance_s.freq), np.asarray(s_b.balance_s.freq)
     )
+
+
+def test_align_simple_step_runs():
+    """train_align (PCL w/o refine, conf-gated stride-16 pseudo labels)."""
+    from uemda_tpu.train.steps import make_align_simple_step
+
+    model, variables = _tiny_model()
+    state = _state(variables)
+    step = make_align_simple_step(model, _hp(align_domain=True), conf_thresh=0.5)
+    bs, bt, _ = _batches(seed=9)
+    state, m = step(state, bs, {"image": bt["image"]}, jax.random.key(0))
+    assert np.isfinite(float(m["loss_align"]))
+    assert np.isfinite(float(m["loss_domain"]))
