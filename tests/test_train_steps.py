@@ -109,7 +109,7 @@ def test_align_step_updates_prototypes():
     assert not np.allclose(np.asarray(state.aligner.prototypes), p0)
 
 
-@pytest.mark.parametrize("target_loss", ["uvem", "ups", "ohem", "focal", "ghm", "ce"])
+@pytest.mark.parametrize("target_loss", ["uvem", "ups", "ohem", "focal", "ghm", "gdp", "ce", "none"])
 def test_ssl_step_all_target_losses(target_loss):
     model, variables = _tiny_model()
     state = _state(variables)

@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--ckpt-model", type=str, required=True)
     parser.add_argument("--ckpt-proto", type=str, required=True)
     parser.add_argument("--align-domain", type=str2bool, default=0)
+    parser.add_argument("--gen", type=str2bool, default=1,
+                        help="accepted for reference-CLI parity; stage 2's "
+                             "supervision is purely online (SURVEY §3.2 note)")
     parser.add_argument("--refine-label", type=str2bool, default=1)
     parser.add_argument("--refine-mode", type=str, default="all",
                         choices=["s", "p", "n", "l", "all"])
