@@ -38,6 +38,13 @@ def main():
     parser.add_argument("--out-dir", type=str, default="./infer_out")
     parser.add_argument("--tta", type=str2bool, default=0)
     parser.add_argument("--slide", type=str2bool, default=1)
+    parser.add_argument(
+        "--raster",
+        type=str2bool,
+        default=0,
+        help="spatially shard the image's rows over all chips with halo "
+        "exchange (for whole rasters too big for one chip); implies --slide",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config_path)
@@ -53,10 +60,19 @@ def main():
     img = read_image(args.image_path).astype(np.float32)[None]
     split = cfg.val
     x = normalize(jnp.asarray(img), split.mean, split.std)
-    tile = cfg.crop if args.slide else img.shape[1:3]
-    predictor = make_predictor(model, tile, img.shape[1:3], tta=bool(args.tta))
-    probs = predictor(variables, x)
-    pred = np.asarray(jnp.argmax(probs, -1)[0]).astype(np.uint8)
+    if args.raster:
+        from uemda_tpu.infer.raster import make_raster_predictor
+        from uemda_tpu.parallel import make_mesh
+
+        predictor = make_raster_predictor(
+            model, make_mesh(), img.shape[1:3], tile=cfg.crop, tta=bool(args.tta)
+        )
+        pred = np.asarray(predictor(variables, x[0])).astype(np.uint8)
+    else:
+        tile = cfg.crop if args.slide else img.shape[1:3]
+        predictor = make_predictor(model, tile, img.shape[1:3], tta=bool(args.tta))
+        probs = predictor(variables, x)
+        pred = np.asarray(jnp.argmax(probs, -1)[0]).astype(np.uint8)
 
     os.makedirs(args.out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.image_path))[0]
