@@ -15,9 +15,38 @@ import numpy as np
 
 from uemda_tpu.datasets.augment import normalize
 from uemda_tpu.datasets.base import SegDataset, sequential_batches
+from uemda_tpu.datasets.prefetch import prefetch
 from uemda_tpu.infer.slide import make_predictor
 from uemda_tpu.ops.metrics import PixelMetricSummary, confusion_matrix
 from uemda_tpu.utils.viz import VisualizeSegmm
+
+
+def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
+    """Stream ``(indices, images_on_device, n_valid, label_np)`` with decode,
+    batch-padding and the host->device copy done in a background thread so
+    transfer overlaps the previous batch's compute (double buffering). The
+    reference instead blocks on a synchronous ``.cuda()`` per batch
+    (``uemda/utils/eval.py:40``)."""
+    import jax
+
+    def gen():
+        for indices, batch in sequential_batches(dataset, batch_size):
+            images = np.asarray(batch["image"], np.float32)
+            n = images.shape[0]
+            if n < batch_size:
+                pad = batch_size - n
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+            if mesh is not None:
+                from uemda_tpu.parallel import shard_batch
+
+                images = shard_batch(mesh, images)
+            else:
+                images = jax.device_put(images)
+            yield indices, images, n, batch.get("label")
+
+    return prefetch(gen(), depth=depth)
 
 
 def evaluate_dataset(
@@ -49,8 +78,7 @@ def evaluate_dataset(
     cm = jnp.zeros((meta.num_classes, meta.num_classes), jnp.int32)
     viz = VisualizeSegmm(vis_dir, meta.palette) if vis_dir else None
 
-    for indices, batch in sequential_batches(dataset, batch_size):
-        images = jnp.asarray(batch["image"])
+    for indices, images, n, label_np in device_batches(dataset, batch_size, mesh):
         if predictor is None or images.shape[1:3] != hw:
             hw = images.shape[1:3]
             predictor = make_predictor(
@@ -58,18 +86,9 @@ def evaluate_dataset(
             )
         # eval transforms = normalize only (configs EVAL pipelines)
         images = normalize(images, mean, std)
-        # pad last partial batch to the compiled batch size
-        n = images.shape[0]
-        if n < batch_size:
-            pad = batch_size - n
-            images = jnp.concatenate([images, jnp.zeros((pad,) + images.shape[1:])])
-        if mesh is not None:
-            from uemda_tpu.parallel import shard_batch
-
-            images = shard_batch(mesh, images)
         probs = predictor(variables, images)[:n]
         pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        label = jnp.asarray(batch["label"])
+        label = jnp.asarray(label_np)
         cm = cm + confusion_matrix(label, pred, meta.num_classes)
         if viz is not None:
             pred_host = np.asarray(pred)

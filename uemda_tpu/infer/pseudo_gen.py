@@ -17,8 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from uemda_tpu.datasets.augment import normalize
-from uemda_tpu.datasets.base import SegDataset, sequential_batches
+from uemda_tpu.datasets.base import SegDataset
 from uemda_tpu.datasets.io import save_prob
+from uemda_tpu.infer.evaluate import device_batches
 from uemda_tpu.infer.slide import make_predictor
 from uemda_tpu.ops.pseudo import pseudo_selection
 from uemda_tpu.utils.viz import VisualizeSegmm
@@ -62,23 +63,13 @@ def generate_pseudo_labels(
     hw = None
     result: Dict[str, np.ndarray] = {}
 
-    for indices, batch in sequential_batches(dataset, batch_size):
-        images = jnp.asarray(batch["image"])
+    for indices, images, n, _ in device_batches(dataset, batch_size, mesh):
         if predictor is None or images.shape[1:3] != hw:
             hw = images.shape[1:3]
             predictor = make_predictor(
                 model, tile, hw, tta=tta, compute_dtype=compute_dtype
             )
         images = normalize(images, mean, std)
-        n = images.shape[0]
-        if n < batch_size:
-            images = jnp.concatenate(
-                [images, jnp.zeros((batch_size - n,) + images.shape[1:])]
-            )
-        if mesh is not None:
-            from uemda_tpu.parallel import shard_batch
-
-            images = shard_batch(mesh, images)
         probs = predictor(variables, images)[:n]  # (n, H, W, C) f32
         hard = None
         if viz is not None:
