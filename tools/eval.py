@@ -33,6 +33,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--vis", type=str2bool, default=1)
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--int8", type=str2bool, default=0,
+                        help="serve convs on the MXU int8 path (infer/quant.py)")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path)
@@ -62,6 +64,10 @@ def main():
         from uemda_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.num_devices)
+    if args.int8:
+        from uemda_tpu.infer.quant import Int8Model
+
+        model = Int8Model(model)
     summary, miou = evaluate_dataset(
         model, variables, dataset, split.mean, split.std, tile=cfg.crop,
         tta=bool(args.tta),

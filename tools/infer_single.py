@@ -38,6 +38,8 @@ def main():
     parser.add_argument("--out-dir", type=str, default="./infer_out")
     parser.add_argument("--tta", type=str2bool, default=0)
     parser.add_argument("--slide", type=str2bool, default=1)
+    parser.add_argument("--int8", type=str2bool, default=0,
+                        help="serve convs on the MXU int8 path (infer/quant.py)")
     parser.add_argument(
         "--raster",
         type=str2bool,
@@ -60,6 +62,10 @@ def main():
     img = read_image(args.image_path).astype(np.float32)[None]
     split = cfg.val
     x = normalize(jnp.asarray(img), split.mean, split.std)
+    if args.int8:
+        from uemda_tpu.infer.quant import Int8Model
+
+        model = Int8Model(model)
     if args.raster:
         from uemda_tpu.infer.raster import make_raster_predictor
         from uemda_tpu.parallel import make_mesh

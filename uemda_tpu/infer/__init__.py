@@ -2,3 +2,4 @@ from uemda_tpu.infer.slide import make_predictor, slide_predict, window_grid
 from uemda_tpu.infer.evaluate import evaluate_dataset
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
 from uemda_tpu.infer.raster import RasterPlan, make_raster_predictor, raster_predict
+from uemda_tpu.infer.quant import Int8Model, int8_apply
