@@ -50,7 +50,11 @@ class DeeplabV2(nn.Module):
         return ASPPHead(cfg.num_classes, cfg.aspp_dilations, name=name)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, with_aux: bool = False):
+        """``with_aux`` (eval only): also return the pre-upsample head logits
+        and feature map, mirroring the ``Deeplabv2_`` subclass the reference
+        defines for corrected-pseudo-label visualization
+        (``vis_corrected_pseudo_labels.py:72-87``)."""
         cfg = self.config
         in_hw = (x.shape[1], x.shape[2])
         pyramid = ResNetEncoder(cfg.backbone, name="encoder")(x, train)
@@ -80,6 +84,8 @@ class DeeplabV2(nn.Module):
             x2 = self._make_head("layer6")(feat, train)
             if train:
                 return x1, x2, feat
+            if with_aux:
+                return eval_avg([x1, x2]), x1, x2, feat
             return eval_avg([x1, x2])
 
         feat = pyramid[-1]
