@@ -179,6 +179,110 @@ def port_deeplabv2(
     return {"params": params, "batch_stats": stats}
 
 
+def _conv_back(w: np.ndarray) -> np.ndarray:
+    """flax kernel (kh, kw, I, O) -> torch conv weight (O, I, kh, kw)."""
+    return np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+
+def _bn_back(out: Dict[str, np.ndarray], torch_prefix: str, p: Dict, s: Dict):
+    out[torch_prefix + ".weight"] = np.asarray(p["bn"]["scale"], np.float32)
+    out[torch_prefix + ".bias"] = np.asarray(p["bn"]["bias"], np.float32)
+    out[torch_prefix + ".running_mean"] = np.asarray(s["bn"]["mean"], np.float32)
+    out[torch_prefix + ".running_var"] = np.asarray(s["bn"]["var"], np.float32)
+    out[torch_prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_resnet_backbone(
+    enc_params: Dict, enc_stats: Dict, deep_stem: bool = False
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_resnet_backbone`: encoder (params, batch_stats)
+    trees -> torchvision-style state dict names."""
+    out: Dict[str, np.ndarray] = {}
+    if deep_stem:
+        for i, (ci, bi) in enumerate([(0, 1), (3, 4), (6, 7)]):
+            out[f"stem.{ci}.weight"] = _conv_back(
+                enc_params[f"stem_conv{i + 1}"]["kernel"]
+            )
+            _bn_back(out, f"stem.{bi}", enc_params[f"stem_bn{i + 1}"],
+                     enc_stats[f"stem_bn{i + 1}"])
+    else:
+        out["conv1.weight"] = _conv_back(enc_params["conv1"]["kernel"])
+        _bn_back(out, "bn1", enc_params["bn1"], enc_stats["bn1"])
+
+    for lname, ltree in enc_params.items():
+        if not lname.startswith("layer"):
+            continue
+        for bname, btree in ltree.items():
+            b = bname[len("block"):]
+            tp = f"{lname}.{b}"
+            for sub, stree in btree.items():
+                if sub.startswith("conv"):
+                    out[f"{tp}.{sub}.weight"] = _conv_back(stree["kernel"])
+                elif sub.startswith("bn"):
+                    _bn_back(out, f"{tp}.{sub}", stree,
+                             enc_stats[lname][bname][sub])
+                elif sub == "ds_conv":
+                    out[f"{tp}.downsample.0.weight"] = _conv_back(stree["kernel"])
+                elif sub == "ds_bn":
+                    _bn_back(out, f"{tp}.downsample.1", stree,
+                             enc_stats[lname][bname][sub])
+    return out
+
+
+def export_deeplabv2(
+    variables: Dict,
+    use_ppm: bool = True,
+    deep_stem: bool = False,
+    pool_scales=(1, 2, 3, 6),
+    dilations=(6, 12, 18, 24),
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_deeplabv2`: model variables -> a state dict in
+    the reference's module names (``encoder.resnet.*``, ``layer5/layer6`` or
+    ``cls_pred``), loadable by the reference's Deeplabv2 for two-way
+    migration. Round-trip ``port_deeplabv2(export_deeplabv2(v)) == v``."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for k, v in export_resnet_backbone(
+        params["encoder"], stats.get("encoder", {}), deep_stem=deep_stem
+    ).items():
+        out["encoder.resnet." + k] = v
+
+    for hn in ("layer5", "layer6", "cls_pred"):
+        if hn not in params:
+            continue
+        hp, hs = params[hn], stats.get(hn, {})
+        if use_ppm:
+            for i, scale in enumerate(pool_scales):
+                out[f"{hn}.ppm.{i}.1.weight"] = _conv_back(
+                    hp[f"ppm{scale}_conv"]["kernel"]
+                )
+                _bn_back(out, f"{hn}.ppm.{i}.2", hp[f"ppm{scale}_bn"],
+                         hs[f"ppm{scale}_bn"])
+            out[f"{hn}.conv_last.0.weight"] = _conv_back(hp["last_conv"]["kernel"])
+            _bn_back(out, f"{hn}.conv_last.1", hp["last_bn"], hs["last_bn"])
+            out[f"{hn}.conv_last.4.weight"] = _conv_back(hp["classifier"]["kernel"])
+            out[f"{hn}.conv_last.4.bias"] = np.asarray(
+                hp["classifier"]["bias"], np.float32
+            )
+        else:
+            for i, d in enumerate(dilations):
+                out[f"{hn}.conv2d_list.{i}.weight"] = _conv_back(
+                    hp[f"aspp_d{d}"]["kernel"]
+                )
+                out[f"{hn}.conv2d_list.{i}.bias"] = np.asarray(
+                    hp[f"aspp_d{d}"]["bias"], np.float32
+                )
+    return out
+
+
+def save_torch_state_dict(path: str, sd: Dict[str, np.ndarray]) -> str:
+    import torch
+
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, path)
+    return path
+
+
 def port_imagenet_backbone(
     sd: Dict[str, np.ndarray], variables: Dict, deep_stem: bool = False
 ) -> Dict:
