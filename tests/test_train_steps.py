@@ -204,3 +204,54 @@ def test_align_simple_step_runs():
     state, m = step(state, bs, {"image": bt["image"]}, jax.random.key(0))
     assert np.isfinite(float(m["loss_align"]))
     assert np.isfinite(float(m["loss_domain"]))
+
+
+def test_loop_resume_matches_uninterrupted(tmp_path):
+    """run_training_loop with state_path + start_step: interrupt after 2 of 4
+    steps, maybe_resume from the snapshot, finish — params must match an
+    uninterrupted 4-step run exactly (fold_in keys make the sequence
+    stateless in the step index)."""
+    import itertools
+    import logging
+
+    from uemda_tpu.train.loop import LoopHooks, maybe_resume, run_training_loop
+
+    model, variables = _tiny_model()
+    hp = _hp(align_domain=False)
+    step = make_src_step(model, hp)
+    bs, bt, _ = _batches(seed=11)
+    tgt = {"image": bt["image"]}
+    logger = logging.getLogger("resume-test")
+
+    def iters():
+        return itertools.repeat(bs), itertools.repeat(tgt)
+
+    # uninterrupted 4 steps
+    si, ti = iters()
+    s_full = run_training_loop(
+        _state(jax.tree.map(jnp.copy, variables)), step, si, ti, 4, logger,
+        LoopHooks(eval_every=10**9), rng_seed=7,
+    )
+
+    # interrupted: 2 steps with a state snapshot at the end, then resume
+    run_dir = str(tmp_path)
+    path = f"{run_dir}/state_curr.msgpack"
+    si, ti = iters()
+    run_training_loop(
+        _state(jax.tree.map(jnp.copy, variables)), step, si, ti, 2, logger,
+        LoopHooks(eval_every=10**9, state_path=path), rng_seed=7,
+    )
+    s_b, start, state_path = maybe_resume(
+        _state(jax.tree.map(jnp.copy, variables)), run_dir, "auto", logger
+    )
+    assert start == 2 and state_path == path
+    si, ti = iters()
+    s_b = run_training_loop(
+        s_b, step, si, ti, 4, logger,
+        LoopHooks(eval_every=10**9, state_path=path), rng_seed=7,
+        start_step=start,
+    )
+
+    assert int(s_full.step) == int(s_b.step) == 4
+    for la, lb in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

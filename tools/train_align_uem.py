@@ -27,6 +27,7 @@ from uemda_tpu.train.loop import (
     default_hparams,
     init_variables,
     make_eval_hook,
+    maybe_resume,
     make_source_iter,
     make_target_iter,
     run_training_loop,
@@ -60,6 +61,8 @@ def main():
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
+    parser.add_argument("--resume", type=str, default="",
+                        help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of steps 10-15")
     args = parser.parse_args()
@@ -102,11 +105,14 @@ def main():
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
     tgt_iter, _ = make_target_iter(cfg, label_type="none", read_sup=need_sup)
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
-    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn, on_best=on_best)
+    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
+                      on_best=on_best, state_path=state_path)
 
     run_training_loop(
         state, step_fn, src_iter, tgt_iter, stop_steps, logger, hooks,
         mesh=mesh, rng_seed=args.seed, profile_dir=args.profile_dir,
+        start_step=start_step,
     )
 
 

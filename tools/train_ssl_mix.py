@@ -26,6 +26,7 @@ from uemda_tpu.train.loop import (
     default_hparams,
     init_variables,
     make_eval_hook,
+    maybe_resume,
     make_source_iter,
     run_training_loop,
     variables_of,
@@ -52,6 +53,8 @@ def main():
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
+    parser.add_argument("--resume", type=str, default="",
+                        help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path, snapshot_postfix=f"/{args.mix}")
@@ -102,7 +105,9 @@ def main():
     tgt_iter = regen(state)
 
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
-    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn, on_best=on_best)
+    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+    hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
+                      on_best=on_best, state_path=state_path)
 
     # gene_every rounds (train_ssl_mix.py:125-141): run in chunks, regenerate
     done = 0
@@ -111,6 +116,7 @@ def main():
         state = run_training_loop(
             state, step_fn, src_iter, tgt_iter, chunk, logger, hooks,
             mesh=mesh, rng_seed=args.seed + done,
+            start_step=min(max(start_step - done, 0), chunk),
         )
         done += chunk
         if done < stop_steps and args.gen:

@@ -119,6 +119,11 @@ class LoopHooks:
     eval_fn: Optional[Callable] = None  # (state) -> miou
     on_best: Optional[Callable] = None  # (state, step, miou)
     on_eval: Optional[Callable] = None  # (state, step, miou)
+    # full-TrainState snapshot for exact resume (params + optimizer +
+    # prototypes + balance/GHM statistics + step); written at every eval
+    # cadence and at loop end. The reference loses all of this on restart
+    # (SURVEY §5: model weights only).
+    state_path: Optional[str] = None
 
 
 def run_training_loop(
@@ -132,18 +137,23 @@ def run_training_loop(
     mesh=None,
     rng_seed: int = 2333,
     profile_dir: Optional[str] = None,
+    start_step: int = 0,
 ) -> TrainState:
     """The per-iteration loop shared by all trainers (train_src.py:108-165).
 
     ``profile_dir`` captures a jax.profiler device trace of steps 10-15
     (viewable in TensorBoard/XProf) — the observability the reference lacks
-    (SURVEY §5: wall-clock logging only)."""
-    key = jax.random.key(rng_seed)
+    (SURVEY §5: wall-clock logging only).
+
+    Per-iteration PRNG keys are ``fold_in(key(seed), i)`` — stateless in the
+    step index, so a resumed run (``start_step > 0``) replays the identical
+    key sequence an uninterrupted run would have used."""
+    key0 = jax.random.key(rng_seed)
     t0 = time.time()
     miou_max, iter_max = 0.0, 0
     if mesh is not None:
         state = shard_pytree_replicated(mesh, state)
-    for i in range(stop_steps):
+    for i in range(start_step, stop_steps):
         if profile_dir is not None and i == min(10, stop_steps - 2):
             jax.profiler.start_trace(profile_dir)
         if profile_dir is not None and i == min(15, stop_steps - 1):
@@ -158,7 +168,7 @@ def run_training_loop(
         if mesh is not None:
             batch_s = shard_batch(mesh, batch_s)
             batch_t = shard_batch(mesh, batch_t) if batch_t is not None else None
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(key0, i)
         if batch_t is not None:
             state, metrics = step_fn(state, batch_s, batch_t, sub)
         else:
@@ -172,6 +182,8 @@ def run_training_loop(
         if hooks.eval_fn is not None and (
             (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
         ):
+            if hooks.state_path:
+                save_checkpoint(hooks.state_path, state)
             miou = hooks.eval_fn(state)
             if hooks.on_eval:
                 hooks.on_eval(state, i + 1, miou)
@@ -183,8 +195,29 @@ def run_training_loop(
                 f"eval@{i + 1}: mIoU={miou:.5f} "
                 f"(best {miou_max:.5f} @ iter {iter_max})"
             )
+    if hooks.state_path:
+        save_checkpoint(hooks.state_path, state)
     logger.info(f">>>> used {(time.time() - t0) / 3600:.3f} hours")
     return state
+
+
+def maybe_resume(state: TrainState, run_dir: str, resume, logger):
+    """Trainer ``--resume`` handling: ``auto`` restores
+    ``<run_dir>/state_curr.msgpack`` if present, a path restores that file,
+    falsy is a no-op. Returns ``(state, start_step, state_path)`` — pass
+    ``state_path`` into ``LoopHooks`` so the loop keeps the snapshot fresh."""
+    state_path = os.path.join(run_dir, "state_curr.msgpack")
+    src = None
+    if resume and resume != "auto":
+        src = resume
+    elif resume == "auto" and os.path.exists(state_path):
+        src = state_path
+    if src is None:
+        return state, 0, state_path
+    state = load_checkpoint(src, state)
+    start = int(state.step)
+    logger.info(f"resumed full train state from {src} at step {start}")
+    return state, start, state_path
 
 
 def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
