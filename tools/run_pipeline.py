@@ -45,6 +45,9 @@ def main():
                         help="override steps for every training stage (smoke runs)")
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--pretrained", type=str, default=None)
+    parser.add_argument("--resume", type=str, default="",
+                        help="forwarded to the training stages ('auto' "
+                             "continues each stage from its state_curr)")
     parser.add_argument("--dry-run", action="store_true")
     args = parser.parse_args()
 
@@ -56,6 +59,8 @@ def main():
     py = [sys.executable]
     sel = set(int(s) for s in args.steps.split(","))
     ov = (["--steps", str(args.stage_steps)] if args.stage_steps else [])
+    if args.resume:
+        ov = ov + ["--resume", args.resume]
     nd = (
         ["--num-devices", str(args.num_devices)] if args.num_devices else []
     )
