@@ -112,3 +112,176 @@ def segment_sum_pallas(
     return _run_segment_kernel(
         _seg_sum_kernel, data, segment_ids, num_segments, tile
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused uncertainty mining: entropy + UVEM weight + per-class-threshold
+# pseudo-label selection in ONE pass over the probability map (the
+# BASELINE.json north-star fusion: "softmax-entropy uncertainty maps and
+# per-class confidence-threshold pseudo-label mining fuse into single Pallas
+# kernels"). Reference semantics: UVEMLoss internals (balance.py:356-423) and
+# pseudo_selection (pseudo_generation.py:59-93).
+#
+# The per-(batch, class) adaptive thresholds need a global max over all
+# pixels — that reduction stays in XLA (a single optimal reduce); everything
+# per-pixel afterwards (entropy, gate, parabola weight, strict-threshold
+# exactly-one-class selection) fuses here and is read/written once.
+# ---------------------------------------------------------------------------
+
+
+def _uvem_mine_kernel(
+    probs_ref, thresh_ref, label_ref, w_ref, u_ref, *, c: int,
+    m: float, t: float, gamma: float, ignore_label: int
+):
+    p = probs_ref[0].astype(jnp.float32)  # (TR, 128, C)
+    th = thresh_ref[0]  # (1, C)
+    logp = jnp.log(jnp.maximum(p, 1e-30))
+    u = -(p * logp).sum(axis=-1)  # (TR, 128)
+    over = p > th[None, :, :]  # strict, pseudo_generation.py:83
+    cnt = over.sum(axis=-1)
+    lab = jnp.argmax(over, axis=-1).astype(jnp.int32)
+    lab = jnp.where(cnt != 1, jnp.int32(ignore_label), lab)
+
+    # piecewise-parabola valuable-example weight (balance.py:396-423)
+    if m > 0:
+        left = jnp.clip(-1.0 / (m * m) * (u - m) ** 2 + 1.0, 0.0, 1.0)
+        left = left ** (1.0 / gamma)
+    else:
+        left = jnp.ones_like(u)
+    if m < t:
+        x = jnp.where((u > m) & (u <= t), u, 0.0)
+        right = jnp.clip(-1.0 / ((t - m) ** 2) * (x - m) ** 2 + 1.0, 0.0, 1.0)
+        right = right ** (1.0 / gamma)
+    else:
+        right = jnp.zeros_like(u)
+    w = jnp.where(u <= m, left, right)
+    w = jnp.where(u >= t, 0.0, w)
+
+    label_ref[0] = lab
+    w_ref[0] = w
+    u_ref[0] = u
+
+
+def uvem_mine_pallas(
+    probs: jnp.ndarray,
+    cutoff_top: float = 0.8,
+    cutoff_low: float = 0.6,
+    m: float = 0.2,
+    threshold: float = 0.7,
+    gamma: float = 4.0,
+    ignore_label: int = -1,
+    tile_rows: int = 8,
+):
+    """Fused mining pass: (B, H, W, C) softmax probs ->
+    (hard labels (B, H, W) int32, UVEM weight (B, H, W) f32, entropy u f32).
+
+    Matches ``ops.pseudo.pseudo_selection`` + ``ops.uncertainty`` exactly.
+    """
+    interpret = jax.devices()[0].platform == "cpu"
+    b, h, w, c = probs.shape
+    n = h * w
+    flat = probs.reshape(b, n, c).astype(jnp.float32)
+    class_max = flat.max(axis=1)  # (B, C) — XLA reduce
+    thresh = jnp.maximum(class_max * cutoff_top, cutoff_low)[:, None, :]
+
+    lane = 128
+    rows = _round_up(n, lane * tile_rows) // lane
+    n_pad = rows * lane
+    flat = jnp.pad(flat, ((0, 0), (0, n_pad - n), (0, 0)))
+    grid_r = rows // tile_rows
+    p4 = flat.reshape(b, rows, lane, c)
+
+    label, wgt, u = pl.pallas_call(
+        functools.partial(
+            _uvem_mine_kernel, c=c, m=m, t=threshold, gamma=gamma,
+            ignore_label=ignore_label,
+        ),
+        grid=(b, grid_r),
+        in_specs=[
+            pl.BlockSpec((1, tile_rows, lane, c), lambda b_, r_: (b_, r_, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda b_, r_: (b_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_rows, lane), lambda b_, r_: (b_, r_, 0)),
+            pl.BlockSpec((1, tile_rows, lane), lambda b_, r_: (b_, r_, 0)),
+            pl.BlockSpec((1, tile_rows, lane), lambda b_, r_: (b_, r_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, lane), jnp.int32),
+            jax.ShapeDtypeStruct((b, rows, lane), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, lane), jnp.float32),
+        ],
+        interpret=interpret,
+    )(p4, thresh)
+    label = label.reshape(b, n_pad)[:, :n].reshape(b, h, w)
+    wgt = wgt.reshape(b, n_pad)[:, :n].reshape(b, h, w)
+    u = u.reshape(b, n_pad)[:, :n].reshape(b, h, w)
+    return label, wgt, u
+
+
+# ---------------------------------------------------------------------------
+# Fused tile crop + normalization (north-star fusion (a)): per-sample random
+# crop offsets drive an async DMA of just the (th, tw) window from the full
+# image in ANY/HBM into VMEM, where the IRRG mean/std normalization is
+# applied and the tile written out — the full image is never copied on-chip.
+# Reference: RandomCrop + Normalize (uemda/aug/augmentation.py:75-122).
+# Channels are packed into the lane dimension (W*3) so the window slice is
+# one contiguous 2-D DMA.
+# ---------------------------------------------------------------------------
+
+
+def _crop_norm_kernel(off_ref, img_ref, mean_ref, inv_std_ref, out_ref,
+                      scratch, sem):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    y = off_ref[b, 0]
+    x3 = off_ref[b, 1]  # pixel offset * 3 (packed channels)
+    th, tw3 = scratch.shape
+    dma = pltpu.make_async_copy(
+        img_ref.at[b, pl.ds(y, th), pl.ds(x3, tw3)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    out_ref[0] = (scratch[...] - mean_ref[0]) * inv_std_ref[0]
+
+
+def crop_normalize_pallas(
+    images: jnp.ndarray,  # (B, H, W, 3) raw float32
+    offsets: jnp.ndarray,  # (B, 2) int32 top-left (y, x) crop origins
+    crop_hw,
+    mean,
+    std,
+):
+    """Per-sample fused crop+normalize: returns (B, th, tw, 3) f32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = jax.devices()[0].platform == "cpu"
+    b, h, w, ch = images.shape
+    th, tw = int(crop_hw[0]), int(crop_hw[1])
+    packed = images.reshape(b, h, w * ch)
+    mean_row = jnp.tile(jnp.asarray(mean, jnp.float32), tw)[None, :]
+    inv_std_row = (1.0 / jnp.tile(jnp.asarray(std, jnp.float32), tw))[None, :]
+    off = jnp.stack([offsets[:, 0], offsets[:, 1] * ch], axis=1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tw * ch), lambda b_, off_: (0, 0)),
+            pl.BlockSpec((1, tw * ch), lambda b_, off_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, tw * ch), lambda b_, off_: (b_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((th, tw * ch), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _crop_norm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, th, tw * ch), jnp.float32),
+        interpret=interpret,
+    )(off, packed.astype(jnp.float32), mean_row, inv_std_row)
+    return out.reshape(b, th, tw, ch)

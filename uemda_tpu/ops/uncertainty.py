@@ -7,8 +7,9 @@ Reproduces ``UVEMLoss`` internals (reference ``uemda/gast/balance.py:345-423``):
        = 0                                                       for u >= t
 
 This is a pure element-wise pipeline — under jit XLA fuses it into the
-surrounding loss computation; a fused Pallas kernel variant exists in
-``uemda_tpu.ops.pallas_kernels`` for the standalone mining pass.
+surrounding loss computation; the fused Pallas kernel variant for the
+standalone mining pass is ``uemda_tpu.ops.pallas_kernels.uvem_mine_pallas``
+(entropy + UVEM weight + pseudo selection in one read/write).
 """
 
 import jax.numpy as jnp
