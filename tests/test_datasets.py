@@ -139,3 +139,19 @@ def test_prefetch_iterator_order_and_termination():
 
     it = prefetch(itertools.count(), depth=2)
     assert [next(it) for _ in range(5)] == [0, 1, 2, 3, 4]
+
+
+def test_infinite_batches_skip_fast_forward(synth):
+    """skip_batches=k replays exactly the stream an uninterrupted run saw
+    from batch k (resume data-stream parity; code-review finding)."""
+    import itertools
+
+    _, img_dir, ann_dir = synth
+    ds = SegDataset(IsprsDA, img_dir, ann_dir)
+    full = list(itertools.islice(infinite_batches(ds, 2, seed=5), 9))
+    skipped = list(
+        itertools.islice(infinite_batches(ds, 2, seed=5, skip_batches=4), 5)
+    )
+    for a, b in zip(full[4:], skipped):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])

@@ -87,3 +87,31 @@ def test_raster_single_device_mesh_degenerates():
     got = np.asarray(fn({}, jnp.asarray(raster)))
     want = _golden(plan, (h, w), raster)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_raster_low_overlap_no_wrap_contamination():
+    """overlap=0.25 (stride > halo): the last device's beyond-grid windows
+    and the wrapped forward halo must not leak into kept rows (code-review
+    finding; previously only overlap=0.5 was exercised, where the
+    contaminated rows happened to be cropped)."""
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(6)
+    # H chosen so kept rows reach close to Hp - halo
+    h, w = 110, 40
+    plan = RasterPlan((h, w), (16, 16), 0.25, 2)
+    assert plan.stride == 12 and plan.halo == 4
+    fn = make_raster_predictor(
+        StubModel(), mesh, (h, w), tile=(16, 16), overlap=0.25,
+        compute_dtype="float32", window_chunk=3, return_probs=True,
+    )
+    raster = rng.random((h, w, 3)).astype(np.float32)
+    got = np.asarray(fn({}, jnp.asarray(raster)))
+    # golden: single-device slide at the same overlap over the padded raster
+    padded = np.zeros((plan.hp, plan.wp, 3), np.float32)
+    padded[:h, :w] = raster
+    gfn = make_predictor(
+        StubModel(), (16, 16), (plan.hp, plan.wp), overlap=0.25,
+        compute_dtype="float32",
+    )
+    want = np.asarray(gfn({}, jnp.asarray(padded)[None]))[0][:h, :w]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

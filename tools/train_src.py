@@ -83,10 +83,10 @@ def main():
     step_fn = make_src_step(model, hp)
 
     mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
-    src_iter, _ = make_source_iter(cfg)
-    tgt_iter, _ = make_target_iter(cfg, label_type="none")
-    eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+    src_iter, _ = make_source_iter(cfg, skip=start_step)
+    tgt_iter, _ = make_target_iter(cfg, label_type="none", skip=start_step)
+    eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
     hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
                       on_best=on_best, state_path=state_path)
 

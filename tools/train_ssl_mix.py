@@ -81,13 +81,14 @@ def main():
     step_fn = make_mix_step(model, hp, mix=args.mix)
 
     mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
-    src_iter, _ = make_source_iter(cfg)
+    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+    src_iter, _ = make_source_iter(cfg, skip=start_step)
     pseudo_dir = os.path.join(run_dir, "..", "pseudo_label")
     gen_ds = SegDataset(
         cfg.meta, list(cfg.target.image_dir), None, label_type="none"
     )
 
-    def regen(state):
+    def regen(state, skip=0):
         generate_pseudo_labels(
             model, variables_of(state), gen_ds, cfg.target.mean, cfg.target.std,
             out_dir=pseudo_dir, tile=cfg.crop, tta=True,
@@ -98,14 +99,17 @@ def main():
         ds = SegDataset(
             cfg.meta, list(cfg.target.image_dir), pseudo_dir, label_type="prob"
         )
-        return infinite_batches(ds, cfg.target.batch_size, seed=1)
+        return infinite_batches(
+            ds, cfg.target.batch_size, seed=1, skip_batches=skip
+        )
 
-    if args.gen:
-        logger.info("###### generating pseudo labels (round 0) ######")
-    tgt_iter = regen(state)
+    first_chunk = min(cfg.gene_every, stop_steps)
+    if args.gen and start_step >= first_chunk:
+        tgt_iter = None  # first live chunk regenerates below
+    else:
+        tgt_iter = regen(state, skip=start_step)
 
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
-    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
                       on_best=on_best, state_path=state_path)
 
@@ -120,8 +124,10 @@ def main():
         )
         done += chunk
         if done < stop_steps and args.gen:
-            logger.info(f"###### regenerating pseudo labels @ step {done} ######")
-            tgt_iter = regen(state)
+            nxt = min(cfg.gene_every, stop_steps - done)
+            if done + nxt > start_step:
+                logger.info(f"###### regenerating pseudo labels @ step {done} ######")
+                tgt_iter = regen(state, skip=min(max(start_step - done, 0), nxt))
 
 
 if __name__ == "__main__":

@@ -95,9 +95,14 @@ def main():
         feat_channels=model.config.inchannels,
     )
 
+    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+
     # ---- pseudo-label generation pass (train_ssl_uem.py:177-189) ----
+    # (skipped on resume: the saved labels from the interrupted run's own
+    # gen pass are already on disk and regenerating from the same stage-2
+    # checkpoint would reproduce them)
     pseudo_dir = os.path.join(run_dir, "..", "pseudo_label")
-    if args.gen:
+    if args.gen and start_step == 0:
         logger.info("###### generating pseudo labels ######")
         gen_ds = SegDataset(
             cfg.meta, list(cfg.target.image_dir), None, label_type="none"
@@ -126,16 +131,17 @@ def main():
     )
     step_fn = make_ssl_step(model, hp)
 
-    src_iter, _ = make_source_iter(cfg)
+    src_iter, _ = make_source_iter(cfg, skip=start_step)
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
     tgt_ds = SegDataset(
         cfg.meta, list(cfg.target.image_dir), pseudo_dir,
         label_type="prob", read_sup=need_sup,
     )
-    tgt_iter = infinite_batches(tgt_ds, cfg.target.batch_size, seed=1)
+    tgt_iter = infinite_batches(
+        tgt_ds, cfg.target.batch_size, seed=1, skip_batches=start_step
+    )
 
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
-    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
                       on_best=on_best, state_path=state_path)
 

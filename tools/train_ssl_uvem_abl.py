@@ -100,14 +100,15 @@ def main():
     step_fn = make_ssl_step(model, hp)
 
     mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
-    src_iter, _ = make_source_iter(cfg)
+    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+    src_iter, _ = make_source_iter(cfg, skip=start_step)
     pseudo_dir = os.path.join(run_dir, "pseudo_label")
     gen_ds = SegDataset(
         cfg.meta, list(cfg.target.image_dir), None, label_type="none"
     )
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
 
-    def regen(state):
+    def regen(state, skip=0):
         generate_pseudo_labels(
             model, variables_of(state), gen_ds, cfg.target.mean, cfg.target.std,
             out_dir=pseudo_dir, tile=cfg.crop, tta=True,
@@ -119,11 +120,16 @@ def main():
             cfg.meta, list(cfg.target.image_dir), pseudo_dir,
             label_type="prob", read_sup=need_sup,
         )
-        return infinite_batches(ds, cfg.target.batch_size, seed=1)
+        return infinite_batches(
+            ds, cfg.target.batch_size, seed=1, skip_batches=skip
+        )
 
-    tgt_iter = regen(state)
+    first_chunk = min(cfg.gene_every, stop_steps)
+    if args.gen and start_step >= first_chunk:
+        tgt_iter = None  # first live chunk regenerates below
+    else:
+        tgt_iter = regen(state, skip=start_step)
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
-    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
                       on_best=on_best, state_path=state_path)
 
@@ -138,8 +144,10 @@ def main():
         )
         done += chunk
         if done < stop_steps and args.gen:
-            logger.info(f"###### regenerating pseudo labels @ step {done} ######")
-            tgt_iter = regen(state)
+            nxt = min(cfg.gene_every, stop_steps - done)
+            if done + nxt > start_step:
+                logger.info(f"###### regenerating pseudo labels @ step {done} ######")
+                tgt_iter = regen(state, skip=min(max(start_step - done, 0), nxt))
 
 
 if __name__ == "__main__":

@@ -86,16 +86,28 @@ class SegDataset:
 
 
 def infinite_batches(
-    dataset: SegDataset, batch_size: int, seed: int = 0, drop_last: bool = True
+    dataset: SegDataset,
+    batch_size: int,
+    seed: int = 0,
+    drop_last: bool = True,
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled epoch-cycling batch iterator (DALoader semantics:
-    RandomSampler + drop_last=True, ``daLoader.py:38-55``)."""
+    RandomSampler + drop_last=True, ``daLoader.py:38-55``).
+
+    ``skip_batches`` fast-forwards the shuffle stream without decoding —
+    a resumed run (``--resume``) replays the exact batch sequence an
+    uninterrupted run would have seen from that step."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    skipped = 0
     while True:
         perm = rng.permutation(n)
         stop = (n // batch_size) * batch_size if drop_last else n
         for i in range(0, max(stop, batch_size), batch_size):
+            if skipped < skip_batches:
+                skipped += 1
+                continue
             idx = perm[i : i + batch_size]
             if len(idx) < batch_size:
                 idx = np.concatenate([idx, perm[: batch_size - len(idx)]])

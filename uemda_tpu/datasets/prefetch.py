@@ -13,7 +13,10 @@ from typing import Iterator
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
-    """Wrap any batch iterator with a depth-bounded background thread."""
+    """Wrap any batch iterator with a depth-bounded background thread.
+
+    Worker exceptions (decode/IO failures) re-raise in the consumer — a
+    corrupt tile must fail the run, not silently truncate the dataset."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
 
@@ -21,8 +24,9 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q.put((stop, e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -30,4 +34,6 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+            raise item[1]
         yield item

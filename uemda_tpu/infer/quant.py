@@ -42,11 +42,18 @@ def _quantize_sym(x, axes, dtype=jnp.int8):
 def _int8_conv(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
     """Re-implement a bound ``nn.Conv`` call with int8 inputs/weights and an
     int32 accumulator, matching the module's stride/padding/dilation/groups."""
+    def _pair(v):
+        if v is None:
+            return (1, 1)
+        if isinstance(v, int):
+            return (v, v)
+        return tuple(v)
+
     kernel = mod.variables["params"]["kernel"].astype(jnp.float32)  # HWIO
     xq, sx = _quantize_sym(x.astype(jnp.float32), axes=(1, 2, 3))
     wq, sw = _quantize_sym(kernel, axes=(0, 1, 2))  # per-out-channel
-    strides = mod.strides if isinstance(mod.strides, tuple) else (1, 1)
-    dil = mod.kernel_dilation if isinstance(mod.kernel_dilation, tuple) else (1, 1)
+    strides = _pair(mod.strides)
+    dil = _pair(mod.kernel_dilation)
     acc = jax.lax.conv_general_dilated(
         xq,
         wq,

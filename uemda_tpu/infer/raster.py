@@ -18,12 +18,14 @@ Geometry (all static, so XLA sees fixed shapes):
 
   * stride = tile·(1-overlap); halo = tile - stride.
   * The raster is zero-padded to ``Hp = N·band_h`` rows (``band_h`` a
-    multiple of stride, ``Hp ≥ H + halo``) and ``Wp`` columns (grid-aligned).
-    Inside ``[0, Hp - halo)`` the result is bit-identical to running the
-    single-device :func:`uemda_tpu.infer.slide.make_predictor` over the
-    padded raster; rows/cols beyond ``H``/``W`` are cropped. (The reference
-    instead clamps its last window to the border — ``tools.py:74-78`` — a
-    boundary-pixel difference documented in docs/MIGRATION.md.)
+    multiple of stride, at least one window tall, ``Hp ≥ H + halo``) and
+    ``Wp`` columns (grid-aligned). The result is bit-identical to running
+    the single-device :func:`uemda_tpu.infer.slide.make_predictor` over the
+    padded raster (the last device masks both the wrapped halo rows and its
+    beyond-grid window origins, so this holds for every overlap); rows/cols
+    beyond ``H``/``W`` are cropped. (The reference instead clamps its last
+    window to the border — ``tools.py:74-78`` — a boundary-pixel difference
+    documented in docs/MIGRATION.md.)
   * Every device owns the ``band_h/stride`` window rows whose origin falls
     in its band; a window may read up to ``halo`` rows past the band end —
     exactly what the halo exchange provides.
@@ -36,6 +38,7 @@ chunk of activations — a 6144²/7-class raster on 8 chips is ~176 MB of
 canvas, far below HBM.
 """
 
+import functools
 import math
 from typing import Callable, Optional, Tuple
 
@@ -58,8 +61,13 @@ class RasterPlan:
         if not 0 < stride <= th:
             raise ValueError(f"overlap {overlap} gives invalid stride {stride}")
         halo = th - stride
-        # rows: equal bands, multiple of stride, generous zero pad past H+halo
-        band_h = max(stride, math.ceil((h + halo) / (n_devices * stride)) * stride)
+        # rows: equal bands, multiple of stride, at least one full window tall
+        # (so every band is covered by its own windows), generous zero pad
+        # past H+halo
+        band_h = max(
+            math.ceil(th / stride) * stride,
+            math.ceil((h + halo) / (n_devices * stride)) * stride,
+        )
         self.h, self.w = h, w
         self.th, self.tw, self.stride, self.halo = th, tw, stride, halo
         self.n_devices = n_devices
@@ -70,20 +78,32 @@ class RasterPlan:
         self.xs = list(range(0, self.wp - tw + 1, stride))
 
     def origins(self, chunk: int):
-        """(nwin_padded, 2) int32 local origins + (nwin_padded,) f32 mask."""
+        """(nwin_padded, 2) int32 local origins, (nwin_padded,) f32 validity
+        mask, and (nwin_padded,) f32 'extra' flags — windows whose GLOBAL
+        origin on the LAST device falls past the padded grid's final window
+        (origin > Hp - tile). Those windows don't exist in the reference
+        window grid; the last device masks their contribution so the result
+        matches the single-device slide over the zero-padded raster for any
+        overlap, not just the ones where their output rows get cropped."""
         pts = [(y, x) for y in self.local_ys for x in self.xs]
         n = len(pts)
         pad = (-n) % chunk
         pts += [(0, 0)] * pad
         mask = np.concatenate([np.ones(n), np.zeros(pad)]).astype(np.float32)
-        return np.asarray(pts, np.int32), mask
+        extra = np.asarray(
+            [float(y > self.band_h - self.th) for (y, _) in pts], np.float32
+        )
+        return np.asarray(pts, np.int32), mask, extra
 
-    def count_canvas(self) -> np.ndarray:
+    def count_canvas(self, include_extra: bool = True) -> np.ndarray:
         """Static per-device overlap counts, (band_h + halo, wp) f32 — the
         contribution of this device's own windows (identical on every
-        device by construction)."""
+        device by construction). ``include_extra=False`` drops the windows
+        flagged by :meth:`origins` (the last device's counts)."""
         cnt = np.zeros((self.band_h + self.halo, self.wp), np.float32)
         for y in self.local_ys:
+            if not include_extra and y > self.band_h - self.th:
+                continue
             for x in self.xs:
                 cnt[y : y + self.th, x : x + self.tw] += 1.0
         return cnt
@@ -105,21 +125,32 @@ def make_raster_predictor(
     raster row-sharded over ``mesh`` and halo exchange over ICI."""
     n = mesh.devices.size
     plan = RasterPlan(raster_hw, tile, overlap, n)
-    origins_np, wmask_np = plan.origins(window_chunk)
+    origins_np, wmask_np, extra_np = plan.origins(window_chunk)
     count_np = plan.count_canvas()
+    count_nolast_np = plan.count_canvas(include_extra=False)
     dtype = jnp.dtype(compute_dtype)
     th, tw, halo, band_h = plan.th, plan.tw, plan.halo, plan.band_h
     fwd_perm = [(i, (i - 1) % n) for i in range(n)]  # top rows -> prev device
     bwd_perm = [(i, (i + 1) % n) for i in range(n)]  # canvas tail -> next
 
-    def band_fn(variables, band):
-        # 1. halo exchange: fetch the next band's first `halo` rows
+    def make_band_fn(num_classes):
+        return functools.partial(_band_fn, num_classes)
+
+    def _band_fn(num_classes, variables, band):
+        is_first = (jax.lax.axis_index(DATA_AXIS) == 0).astype(jnp.float32)
+        is_last = (jax.lax.axis_index(DATA_AXIS) == n - 1).astype(jnp.float32)
+
+        # 1. halo exchange: fetch the next band's first `halo` rows. The last
+        #    band's "next" rows are virtual zero padding, not the wrapped
+        #    device-0 content the cyclic ppermute delivers — mask them.
         top = jax.lax.slice_in_dim(band, 0, halo, axis=0)
-        recv = jax.lax.ppermute(top, DATA_AXIS, fwd_perm)
-        x = jnp.concatenate([band, recv], axis=0)  # (band_h + halo, wp, 3)
+        recv = jax.lax.ppermute(top, DATA_AXIS, fwd_perm) * (1.0 - is_last)
+        x = jnp.concatenate([band, recv.astype(band.dtype)], axis=0)
 
         origins = jnp.asarray(origins_np)
-        wmask = jnp.asarray(wmask_np)
+        # windows past the padded grid's last origin exist only as grid
+        # padding on the last device — zero their contribution there
+        wmask = jnp.asarray(wmask_np) * (1.0 - is_last * jnp.asarray(extra_np))
         n_chunks = origins.shape[0] // window_chunk
 
         def chunk_body(canvas, i):
@@ -144,10 +175,7 @@ def make_raster_predictor(
                 canvas = jax.lax.dynamic_update_slice(canvas, cur + probs[j], (y, xx, 0))
             return canvas, None
 
-        num_classes_probe = model.apply(
-            variables, jnp.zeros((1, th, tw, 3), dtype), train=False
-        ).shape[-1]
-        canvas = jnp.zeros((band_h + halo, plan.wp, num_classes_probe), jnp.float32)
+        canvas = jnp.zeros((band_h + halo, plan.wp, num_classes), jnp.float32)
         canvas, _ = jax.lax.scan(chunk_body, canvas, jnp.arange(n_chunks))
 
         # 2. reverse exchange: this band's tail rows belong to the next band's
@@ -155,31 +183,40 @@ def make_raster_predictor(
         #    (rows past Hp) and is masked out on device 0.
         tail = jax.lax.slice_in_dim(canvas, band_h, band_h + halo, axis=0)
         back = jax.lax.ppermute(tail, DATA_AXIS, bwd_perm)
-        is_first = (jax.lax.axis_index(DATA_AXIS) == 0).astype(jnp.float32)
         head = jax.lax.slice_in_dim(canvas, 0, halo, axis=0)
         canvas = jax.lax.dynamic_update_slice(
             canvas, head + back * (1.0 - is_first), (0, 0, 0)
         )
 
-        count = jnp.asarray(count_np)
-        count = count.at[:halo].add(count[band_h : band_h + halo] * (1.0 - is_first))
+        # per-device static counts: last device drops its extra windows
+        count = jnp.asarray(count_np) * (1.0 - is_last) + jnp.asarray(
+            count_nolast_np
+        ) * is_last
+        count = count.at[:halo].add(
+            jnp.asarray(count_np)[band_h : band_h + halo] * (1.0 - is_first)
+        )
         probs = canvas[:band_h] / count[:band_h, :, None]
         if return_probs:
             return probs
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
-    sharded = jax.shard_map(
-        band_fn,
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-        check_vma=False,
-    )
-
     @jax.jit
     def predict(variables, raster):
         variables = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
+        )
+        # abstract trace only — no throwaway forward is compiled
+        num_classes = jax.eval_shape(
+            lambda v, x: model.apply(v, x, train=False),
+            variables,
+            jax.ShapeDtypeStruct((1, th, tw, 3), dtype),
+        ).shape[-1]
+        sharded = jax.shard_map(
+            make_band_fn(num_classes),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
         )
         h, w = raster.shape[:2]
         raster = jnp.pad(

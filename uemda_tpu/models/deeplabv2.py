@@ -76,6 +76,8 @@ class DeeplabV2(nn.Module):
                 x2 = self._make_head("layer6", fc_dim=feat2.shape[-1])(feat2, train)
                 if train:
                     return x1, feat1, x2, feat2
+                if with_aux:
+                    return eval_avg([x1, x2]), x1, x2, feat2
                 return eval_avg([x1, x2])
             feat = pyramid[-1]
             if cfg.is_ins_norm:
@@ -94,4 +96,7 @@ class DeeplabV2(nn.Module):
         x1 = self._make_head("cls_pred")(feat, train)
         if train:
             return x1, feat
-        return nn.softmax(resize_bilinear(x1, in_hw, align_corners=True), axis=-1)
+        probs = nn.softmax(resize_bilinear(x1, in_hw, align_corners=True), axis=-1)
+        if with_aux:
+            return probs, x1, x1, feat
+        return probs

@@ -15,6 +15,7 @@ from the reference runtime model:
 """
 
 import dataclasses
+import json
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -151,18 +152,33 @@ def run_training_loop(
     key0 = jax.random.key(rng_seed)
     t0 = time.time()
     miou_max, iter_max = 0.0, 0
+    # a resumed run must not let a worse model overwrite the best checkpoint:
+    # best-so-far is persisted as best.json next to the state snapshot
+    best_json = (
+        os.path.join(os.path.dirname(hooks.state_path), "best.json")
+        if hooks.state_path else None
+    )
+    # (maybe_resume deletes best.json on a fresh start, so its presence here
+    # means a resumed run or a later chunk of the same run)
+    if best_json and os.path.exists(best_json):
+        with open(best_json) as f:
+            rec = json.load(f)
+        miou_max, iter_max = rec.get("miou", 0.0), rec.get("step", 0)
     if mesh is not None:
         state = shard_pytree_replicated(mesh, state)
+    profiling = False
     for i in range(start_step, stop_steps):
         if profile_dir is not None and i == min(10, stop_steps - 2):
             jax.profiler.start_trace(profile_dir)
-        if profile_dir is not None and i == min(15, stop_steps - 1):
+            profiling = True
+        if profiling and i == min(15, stop_steps - 1):
             jax.tree.map(
                 lambda x: x.block_until_ready(), jax.tree.leaves(state.params)[0]
             )
             jax.profiler.stop_trace()
             logger.info(f"profiler trace written to {profile_dir}")
             profile_dir = None
+            profiling = False
         batch_s = next(source_iter)
         batch_t = next(target_iter) if target_iter is not None else None
         if mesh is not None:
@@ -191,6 +207,9 @@ def run_training_loop(
                 miou_max, iter_max = miou, i + 1
                 if hooks.on_best:
                     hooks.on_best(state, i + 1, miou)
+                if best_json:
+                    with open(best_json, "w") as f:
+                        json.dump({"miou": miou_max, "step": iter_max}, f)
             logger.info(
                 f"eval@{i + 1}: mIoU={miou:.5f} "
                 f"(best {miou_max:.5f} @ iter {iter_max})"
@@ -213,6 +232,11 @@ def maybe_resume(state: TrainState, run_dir: str, resume, logger):
     elif resume == "auto" and os.path.exists(state_path):
         src = state_path
     if src is None:
+        # fresh start: clear stale best-tracking from an older run so the
+        # first eval can claim the best checkpoint again
+        best_json = os.path.join(run_dir, "best.json")
+        if os.path.exists(best_json):
+            os.remove(best_json)
         return state, 0, state_path
     state = load_checkpoint(src, state)
     start = int(state.step)
@@ -259,17 +283,20 @@ def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
     return eval_fn, on_best
 
 
-def make_source_iter(cfg: PairConfig, seed=0):
+def make_source_iter(cfg: PairConfig, seed=0, skip=0):
     from uemda_tpu.datasets.prefetch import prefetch
 
     ds = SegDataset(
         cfg.meta, list(cfg.source.image_dir), list(cfg.source.mask_dir)[0]
     )
-    return prefetch(infinite_batches(ds, cfg.source.batch_size, seed=seed)), ds
+    return prefetch(
+        infinite_batches(ds, cfg.source.batch_size, seed=seed, skip_batches=skip)
+    ), ds
 
 
 def make_target_iter(
-    cfg: PairConfig, label_type="none", mask_dir=None, read_sup=False, seed=1
+    cfg: PairConfig, label_type="none", mask_dir=None, read_sup=False, seed=1,
+    skip=0,
 ):
     from uemda_tpu.datasets.prefetch import prefetch
 
@@ -280,7 +307,9 @@ def make_target_iter(
         label_type=label_type,
         read_sup=read_sup,
     )
-    return prefetch(infinite_batches(ds, cfg.target.batch_size, seed=seed)), ds
+    return prefetch(
+        infinite_batches(ds, cfg.target.batch_size, seed=seed, skip_batches=skip)
+    ), ds
 
 
 def default_hparams(cfg: PairConfig, **overrides) -> StageHParams:
