@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# One-shot TPU measurement session (docs/PERF_NOTES.md backlog).
+# Run when the axon tunnel is live; writes JSON lines to runs/tpu_results/.
+# Sequential on purpose: one compiling process at a time (1-core host).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+OUT=runs/tpu_results
+mkdir -p $OUT
+
+echo "== headline bench =="
+python bench.py | tee $OUT/bench.json
+
+echo "== eval bf16 / int8 / f32 =="
+python tools/bench_suite.py --modes eval_bf16,eval_int8,eval_f32 \
+  | tee $OUT/eval_modes.json
+
+echo "== train step latencies =="
+python tools/bench_suite.py --modes train | tee $OUT/train_steps.json
+
+echo "== batch sweep (headline path) =="
+for b in 32 64 96 128; do
+  python tools/bench_suite.py --modes eval_bf16 --batch $b --k-chain 4 \
+    | tee -a $OUT/batch_sweep.json
+done
+
+echo "== pallas kernel validation (Mosaic lowering) =="
+python - <<'EOF' | tee $OUT/pallas_validation.txt
+import numpy as np, jax, jax.numpy as jnp
+from uemda_tpu.ops.pallas_kernels import (
+    crop_normalize_pallas, segment_max_pallas, uvem_mine_pallas)
+from uemda_tpu.ops.pseudo import pseudo_selection
+probs = jax.nn.softmax(jax.random.normal(jax.random.key(0), (4, 512, 512, 6)))
+lab, w, u = uvem_mine_pallas(probs)
+print("uvem_mine_pallas ok:", lab.shape,
+      bool((np.asarray(lab) == np.asarray(pseudo_selection(probs))).all()))
+img = jax.random.uniform(jax.random.key(1), (8, 544, 544, 3), maxval=255.0)
+off = jnp.zeros((8, 2), jnp.int32) + 7
+out = crop_normalize_pallas(img, off, (512, 512), (97.0,) * 3, (36.0,) * 3)
+print("crop_normalize_pallas ok:", out.shape, float(out.mean()))
+EOF
+
+echo "== profiler trace of a stage-1 run (synthetic) =="
+python tools/run_pipeline.py --config-path /tmp/uemda_e2e/config_synth.py \
+  --steps 1 --stage-steps 30 2>/dev/null || true
+python tools/train_src.py --config-path /tmp/uemda_e2e/config_synth.py \
+  --steps 30 --align-domain 1 --profile-dir $OUT/xprof || true
+
+echo "results in $OUT/"
