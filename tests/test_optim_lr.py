@@ -74,3 +74,36 @@ def test_freeze_mask_zeroes_updates():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["encoder"]["conv1"]["kernel"]).sum()) == 0.0
     assert float(jnp.abs(updates["layer5"]["classifier"]["kernel"]).sum()) > 0.0
+
+
+def test_gradient_accumulation_matches_single_update():
+    """k MultiSteps micro-updates on the SAME gradient == one plain update
+    with that gradient (mean of k copies), and params stay frozen between
+    real updates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from uemda_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    grads = {"w": jnp.array([0.1, -0.2, 0.3, 0.4]), "b": jnp.array([0.5, -0.5])}
+    sched = optax.constant_schedule(1e-2)
+
+    plain = make_optimizer(sched)
+    s0 = plain.init(params)
+    upd, _ = plain.update(grads, s0, params)
+    want = optax.apply_updates(params, upd)
+
+    acc = make_optimizer(sched, accum_steps=3)
+    s = acc.init(params)
+    p = params
+    for i in range(3):
+        upd, s = acc.update(grads, s, p)
+        p2 = optax.apply_updates(p, upd)
+        if i < 2:  # no real update yet
+            np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p["w"]))
+        p = p2
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(want[k]), rtol=1e-6)

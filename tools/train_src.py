@@ -55,6 +55,9 @@ def main():
                         help="override STAGE1_STEPS")
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation: one SGD update per k "
+                             "micro-batches (effective batch k x batch)")
     parser.add_argument("--resume", type=str, default="",
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     parser.add_argument("--profile-dir", type=str, default=None,
@@ -72,7 +75,8 @@ def main():
     model = build_model(cfg, pretrained=args.pretrained)
     variables = init_variables(model, cfg, seed=args.seed)
     state = build_state(variables, cfg, stop_steps, balance_temp=args.class_temp,
-                        feat_channels=model.config.inchannels)
+                        feat_channels=model.config.inchannels,
+                        accum_steps=args.accum_steps)
 
     hp = default_hparams(
         cfg,

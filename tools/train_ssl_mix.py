@@ -53,6 +53,9 @@ def main():
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation: one SGD update per k "
+                             "micro-batches (effective batch k x batch)")
     parser.add_argument("--resume", type=str, default="",
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     args = parser.parse_args()
@@ -71,6 +74,7 @@ def main():
     state = build_state(
         variables, cfg, stop_steps, balance_temp=args.class_temp,
         feat_channels=model.config.inchannels,
+        accum_steps=args.accum_steps,
     )
 
     hp = default_hparams(

@@ -91,16 +91,21 @@ def build_state(
     prototypes=None,
     balance_temp: float = 2.0,
     feat_channels: int = 2048,
+    accum_steps: int = 1,
 ) -> TrainState:
     from uemda_tpu.train.optim import freeze_mask
 
-    schedule = poly_warmup_schedule(cfg.learning_rate, stop_steps, cfg.power)
+    # with accumulation the schedule advances once per REAL update, so its
+    # horizon is the number of updates, not micro-steps
+    schedule = poly_warmup_schedule(
+        cfg.learning_rate, -(-stop_steps // max(accum_steps, 1)), cfg.power
+    )
     mask = (
         freeze_mask(variables["params"], freeze_at) if freeze_at > 0 else None
     )
     tx = make_optimizer(
         schedule, cfg.momentum, cfg.weight_decay, clip_norm=32.0,
-        trainable_mask=mask,
+        trainable_mask=mask, accum_steps=accum_steps,
     )
     return create_train_state(
         variables, tx, cfg.class_num, feat_channels=feat_channels,
@@ -194,6 +199,11 @@ def run_training_loop(
             m = {k: float(v) for k, v in metrics.items()}
             msg = ", ".join(f"{k}={v:.4g}" for k, v in m.items())
             logger.info(f"iter={i + 1}/{stop_steps}, {msg}")
+            if best_json:  # machine-readable loss curve next to the snapshot
+                with open(
+                    os.path.join(os.path.dirname(best_json), "metrics.jsonl"), "a"
+                ) as f:
+                    f.write(json.dumps({"step": i + 1, **m}) + "\n")
 
         if hooks.eval_fn is not None and (
             (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
@@ -214,6 +224,11 @@ def run_training_loop(
                 f"eval@{i + 1}: mIoU={miou:.5f} "
                 f"(best {miou_max:.5f} @ iter {iter_max})"
             )
+            if best_json:
+                with open(
+                    os.path.join(os.path.dirname(best_json), "metrics.jsonl"), "a"
+                ) as f:
+                    f.write(json.dumps({"step": i + 1, "miou": miou}) + "\n")
     if hooks.state_path:
         save_checkpoint(hooks.state_path, state)
     logger.info(f">>>> used {(time.time() - t0) / 3600:.3f} hours")

@@ -53,7 +53,14 @@ def make_optimizer(
     weight_decay: float = 5e-4,
     clip_norm: float = 32.0,
     trainable_mask=None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """``accum_steps > 1`` accumulates that many micro-batch gradients and
+    applies one SGD update on their mean (optax.MultiSteps) — an effective
+    batch of ``accum_steps x batch`` in the same HBM footprint. Clipping,
+    weight decay and the LR schedule all see the accumulated update, and the
+    schedule advances once per real update (large-batch semantics; the
+    reference has no equivalent)."""
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.add_decayed_weights(weight_decay),
@@ -68,4 +75,6 @@ def make_optimizer(
                 jax.tree_util.tree_map(lambda t: not t, trainable_mask),
             ),
         )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
