@@ -23,3 +23,37 @@ def test_run_pipeline_dry_run():
     assert "train_align_uem.py" in lines[2] and "--refine-label 1" in lines[2]
     assert "init_prototypes.py" in lines[3] and "--stage 2" in lines[3]
     assert "train_ssl_uem.py" in lines[4] and "--lt uvem" in lines[4]
+
+
+def test_all_tools_parse_help():
+    """Every CLI parses --help (argparse wiring, imports, flag names).
+    One subprocess per tool is slow on this host — batch them in one
+    interpreter with patched argv."""
+    code = r"""
+import importlib, sys
+tools = [  # train_ssl is a __main__-only delegator, exercised by e2e runs
+    "train_src", "train_align", "train_align_uem", "train_ssl_uem",
+    "train_ssl_mix", "train_ssl_dca", "train_ssl_uvem_abl",
+    "train_adv", "init_prototypes", "eval", "infer_single", "infer_dir",
+    "vis_pseudo_labels", "vis_corrected_pseudo_labels", "tsne_dataset",
+    "tsne_img", "generate_superpixels", "convert_datasets", "statistic",
+    "class_distribution", "port_weights", "bench_suite", "run_pipeline",
+]
+ok = 0
+for t in tools:
+    m = importlib.import_module(f"tools.{t}")
+    sys.argv = [t + ".py", "--help"]
+    try:
+        m.main()
+    except SystemExit as e:
+        assert e.code in (0, None), (t, e.code)
+    ok += 1
+print("HELP_OK", ok)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "HELP_OK 23" in out.stdout
