@@ -85,3 +85,36 @@ def test_int8_model_in_slide_predictor():
     probs = np.asarray(fn(variables, x))
     assert probs.shape == (1, 96, 96, 6)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+
+def test_int8_grouped_conv_exact():
+    """ResNeXt-style grouped conv through the interceptor: int8 semantics
+    must respect feature_group_count."""
+
+    class GroupedConv(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(
+                8, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=4,
+                use_bias=False,
+            )(x)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 6, 6, 8)).astype(np.float32)
+    model = GroupedConv()
+    variables = model.init(jax.random.key(3), jnp.asarray(x))
+    got = np.asarray(int8_apply(model, variables, jnp.asarray(x)))
+    k = variables["params"]["Conv_0"]["kernel"]  # (3,3,2,8)
+    xq, sx = _quantize_sym(jnp.asarray(x), axes=(1, 2, 3))
+    wq, sw = _quantize_sym(jnp.asarray(k), axes=(0, 1, 2))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=4, preferred_element_type=jnp.int32,
+    )
+    want = np.asarray(
+        acc.astype(jnp.float32) * (sx.reshape(-1, 1, 1, 1) * sw.reshape(1, 1, 1, -1))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    f32 = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert np.abs(got - f32).max() < 0.05 * np.abs(f32).max() + 1e-3
