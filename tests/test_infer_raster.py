@@ -115,3 +115,25 @@ def test_raster_low_overlap_no_wrap_contamination():
     )
     want = np.asarray(gfn({}, jnp.asarray(padded)[None]))[0][:h, :w]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_raster_predict_convenience_and_int8_compose():
+    """raster_predict normalizes + runs; Int8Model composes with the
+    sharded raster path (serving combo)."""
+    from uemda_tpu.infer.quant import Int8Model
+    from uemda_tpu.infer.raster import raster_predict
+    from uemda_tpu.models import DeeplabV2, DeeplabV2Config
+
+    mesh = make_mesh(2)
+    cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type="resnet18")
+    model = DeeplabV2(cfg)
+    raster = np.random.default_rng(8).random((40, 24, 3)).astype(np.float32) * 255
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.ones((1, 16, 16, 3)), train=False
+    )
+    preds = np.asarray(raster_predict(
+        Int8Model(model), variables, raster, (128.0,) * 3, (64.0,) * 3, mesh,
+        tile=(16, 16), compute_dtype="float32", window_chunk=2,
+    ))
+    assert preds.shape == (40, 24) and preds.dtype == np.int32
+    assert set(np.unique(preds)) <= set(range(6))
