@@ -93,6 +93,11 @@ class Int8Model:
         return getattr(self.model, name)
 
     def apply(self, variables, *args, **kwargs):
+        if kwargs.get("train"):
+            raise ValueError(
+                "Int8Model is inference-only: gradients through the rounded "
+                "int8 weights are zero — train with the f32/bf16 model"
+            )
         with nn.intercept_methods(_interceptor):
             return self.model.apply(variables, *args, **kwargs)
 
