@@ -255,3 +255,20 @@ def test_loop_resume_matches_uninterrupted(tmp_path):
     assert int(s_full.step) == int(s_b.step) == 4
     for la, lb in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_loop_deadline_failure_detection():
+    """_deadline returns results, re-raises worker errors, and raises
+    TimeoutError on a hung readback (the axon-tunnel death mode)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from uemda_tpu.train.loop import _deadline
+
+    assert _deadline(lambda: 42, 5.0, "ok") == 42
+    assert _deadline(lambda: 42, 0, "disabled") == 42
+    with _pytest.raises(ValueError):
+        _deadline(lambda: (_ for _ in ()).throw(ValueError("boom")), 5.0, "err")
+    with _pytest.raises(TimeoutError, match="resume auto"):
+        _deadline(lambda: _time.sleep(30), 0.2, "hang")

@@ -130,6 +130,44 @@ class LoopHooks:
     # cadence and at loop end. The reference loses all of this on restart
     # (SURVEY §5: model weights only).
     state_path: Optional[str] = None
+    # failure detection: the axon tunnel (and real TPU runtimes) can die
+    # mid-run, leaving every device readback hung forever. Metric/eval
+    # readbacks run under this deadline; on expiry the loop raises
+    # TimeoutError so an orchestrator can restart with --resume auto from
+    # the last state snapshot instead of hanging. 0 disables.
+    hang_timeout_s: float = 900.0
+
+
+def _deadline(fn, timeout_s: float, what: str):
+    """Run a device-readback closure under a wall-clock deadline. A hung
+    runtime readback cannot be cancelled, so on expiry the (daemon) worker
+    is abandoned and TimeoutError is raised to the caller — fail fast with
+    the last checkpoint on disk rather than hang the training job."""
+    if not timeout_s:
+        return fn()
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def work():
+        try:
+            q.put((True, fn()))
+        except BaseException as e:  # noqa: BLE001 - forwarded
+            q.put((False, e))
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    try:
+        ok, val = q.get(timeout=timeout_s)
+    except queue.Empty:
+        raise TimeoutError(
+            f"{what} exceeded {timeout_s:.0f}s — device runtime presumed "
+            "dead; restart with --resume auto from the last state snapshot"
+        ) from None
+    if not ok:
+        raise val
+    return val
 
 
 def run_training_loop(
@@ -196,7 +234,10 @@ def run_training_loop(
             state, metrics = step_fn(state, batch_s, sub)
 
         if i == 0 or (i + 1) % hooks.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = _deadline(
+                lambda: {k: float(v) for k, v in metrics.items()},
+                hooks.hang_timeout_s, f"metric readback @ iter {i + 1}",
+            )
             msg = ", ".join(f"{k}={v:.4g}" for k, v in m.items())
             logger.info(f"iter={i + 1}/{stop_steps}, {msg}")
             if best_json:  # machine-readable loss curve next to the snapshot
@@ -209,8 +250,14 @@ def run_training_loop(
             (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
         ):
             if hooks.state_path:
-                save_checkpoint(hooks.state_path, state)
-            miou = hooks.eval_fn(state)
+                _deadline(
+                    lambda: save_checkpoint(hooks.state_path, state),
+                    hooks.hang_timeout_s, f"state snapshot @ iter {i + 1}",
+                )
+            miou = _deadline(
+                lambda: hooks.eval_fn(state),
+                hooks.hang_timeout_s, f"eval @ iter {i + 1}",
+            )
             if hooks.on_eval:
                 hooks.on_eval(state, i + 1, miou)
             if miou >= miou_max:
