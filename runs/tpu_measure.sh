@@ -45,4 +45,30 @@ python tools/run_pipeline.py --config-path /tmp/uemda_e2e/config_synth.py \
 python tools/train_src.py --config-path /tmp/uemda_e2e/config_synth.py \
   --steps 30 --align-domain 1 --profile-dir $OUT/xprof || true
 
+echo "== eval-forward trace (the 45% MXU-idle suspect) =="
+python - <<'EOF' || true
+import jax, jax.numpy as jnp
+from uemda_tpu.models import DeeplabV2, DeeplabV2Config
+from uemda_tpu.utils.runtime import enable_compile_cache
+enable_compile_cache()
+model = DeeplabV2(DeeplabV2Config.uemda_default(num_classes=6))
+v = jax.jit(lambda: model.init({"params": jax.random.key(0)},
+                               jnp.ones((1, 512, 512, 3)), train=False))()
+v = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                 if a.dtype == jnp.float32 else a, v)
+x = jax.random.normal(jax.random.key(1), (64, 512, 512, 3), jnp.bfloat16)
+fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+float(fwd(v, x).mean())  # compile + warm
+jax.profiler.start_trace("runs/tpu_results/xprof_eval")
+for _ in range(3):
+    float(fwd(v, x).mean())
+jax.profiler.stop_trace()
+print("eval trace captured")
+EOF
+python tools/profile_summary.py runs/tpu_results/xprof_eval --top 25 \
+  | tee $OUT/xprof_eval_summary.txt || true
+
+echo "== trace summary =="
+python tools/profile_summary.py $OUT/xprof --top 25 | tee $OUT/xprof_summary.txt || true
+
 echo "results in $OUT/"
