@@ -272,3 +272,35 @@ def test_loop_deadline_failure_detection():
         _deadline(lambda: (_ for _ in ()).throw(ValueError("boom")), 5.0, "err")
     with _pytest.raises(TimeoutError, match="resume auto"):
         _deadline(lambda: _time.sleep(30), 0.2, "hang")
+
+
+def test_checkpoint_backends_roundtrip(tmp_path):
+    """AsyncSaver writes the same bytes as the sync path; the orbax backend
+    round-trips the full TrainState structure."""
+    from uemda_tpu.train.checkpoints import (
+        AsyncSaver,
+        load_checkpoint,
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    model, variables = _tiny_model()
+    state = _state(variables)
+
+    saver = AsyncSaver()
+    p1 = str(tmp_path / "async.msgpack")
+    saver.save(p1, state)
+    saver.wait()
+    back = load_checkpoint(p1, _state(jax.tree.map(jnp.copy, variables)))
+    for la, lb in zip(jax.tree.leaves(state.params), jax.tree.leaves(back.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    p2 = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(p2, state)
+    back2 = load_checkpoint_orbax(p2, _state(jax.tree.map(jnp.copy, variables)))
+    assert type(back2) is type(state)
+    for la, lb in zip(jax.tree.leaves(state.params), jax.tree.leaves(back2.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(
+        np.asarray(state.aligner.prototypes), np.asarray(back2.aligner.prototypes)
+    )

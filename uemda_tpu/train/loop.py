@@ -210,6 +210,7 @@ def run_training_loop(
     if mesh is not None:
         state = shard_pytree_replicated(mesh, state)
     profiling = False
+    saver = None
     for i in range(start_step, stop_steps):
         if profile_dir is not None and i == min(10, stop_steps - 2):
             jax.profiler.start_trace(profile_dir)
@@ -250,8 +251,14 @@ def run_training_loop(
             (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
         ):
             if hooks.state_path:
+                if saver is None:
+                    from uemda_tpu.train.checkpoints import AsyncSaver
+
+                    saver = AsyncSaver()
+                # device->host fetch under the deadline; serialization and
+                # disk IO continue on the saver thread while eval runs
                 _deadline(
-                    lambda: save_checkpoint(hooks.state_path, state),
+                    lambda: saver.save(hooks.state_path, state),
                     hooks.hang_timeout_s, f"state snapshot @ iter {i + 1}",
                 )
             miou = _deadline(
@@ -277,6 +284,8 @@ def run_training_loop(
                 ) as f:
                     f.write(json.dumps({"step": i + 1, "miou": miou}) + "\n")
     if hooks.state_path:
+        if saver is not None:
+            saver.wait()  # drain in-flight snapshots before the final one
         save_checkpoint(hooks.state_path, state)
     logger.info(f">>>> used {(time.time() - t0) / 3600:.3f} hours")
     return state
