@@ -304,3 +304,32 @@ def test_checkpoint_backends_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.aligner.prototypes), np.asarray(back2.aligner.prototypes)
     )
+
+
+def test_two_identical_runs_are_bitwise_deterministic():
+    """Same seed + same data stream => bitwise-identical params after the
+    loop (explicit determinism guarantee; the reference seeds torch but runs
+    cudnn.benchmark so it is NOT deterministic — SURVEY §5)."""
+    import itertools
+    import logging
+
+    from uemda_tpu.train.loop import LoopHooks, run_training_loop
+
+    model, variables = _tiny_model()
+    step = make_src_step(model, _hp(align_domain=False))
+    bs, bt, _ = _batches(seed=13)
+    logger = logging.getLogger("determinism-test")
+
+    def run():
+        return run_training_loop(
+            _state(jax.tree.map(jnp.copy, variables)), step,
+            itertools.repeat(bs), itertools.repeat({"image": bt["image"]}),
+            3, logger, LoopHooks(eval_every=10**9), rng_seed=21,
+        )
+
+    a, b = run(), run()
+    for la, lb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(
+        np.asarray(a.balance_s.freq), np.asarray(b.balance_s.freq)
+    )
