@@ -79,7 +79,7 @@ def main():
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
     )
 
-    batch = 64 if on_tpu else 2
+    batches = (64, 96, 128) if on_tpu else (2,)
     k_chain = 8 if on_tpu else 1
 
     @jax.jit
@@ -91,14 +91,23 @@ def main():
         _, means = jax.lax.scan(body, x, None, length=k_chain)
         return means.mean()
 
-    x = jax.random.normal(jax.random.key(1), (batch, 512, 512, 3), dtype)
-    float(many(variables, x))  # compile + warm
     reps = 3 if on_tpu else 1
-    t0 = time.time()
-    for _ in range(reps):
-        float(many(variables, x))  # single readback per chain
-    dt = (time.time() - t0) / reps
-    tiles_per_sec = k_chain * batch / dt
+    tiles_per_sec = 0.0
+    for batch in batches:
+        # larger batches improve MXU utilization until HBM runs out —
+        # sweep and keep the best; an OOM at one size must not zero the run
+        try:
+            x = jax.random.normal(
+                jax.random.key(1), (batch, 512, 512, 3), dtype
+            )
+            float(many(variables, x))  # compile + warm
+            t0 = time.time()
+            for _ in range(reps):
+                float(many(variables, x))  # single readback per chain
+            dt = (time.time() - t0) / reps
+            tiles_per_sec = max(tiles_per_sec, k_chain * batch / dt)
+        except Exception:
+            break
 
     print(
         json.dumps(
