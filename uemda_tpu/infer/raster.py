@@ -45,7 +45,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from uemda_tpu.infer.slide import _unviews, _views
 from uemda_tpu.parallel.mesh import DATA_AXIS
