@@ -92,7 +92,7 @@ def main():
         return means.mean()
 
     reps = 3 if on_tpu else 1
-    tiles_per_sec = 0.0
+    tiles_per_sec, sweep_error = 0.0, None
     for batch in batches:
         # larger batches improve MXU utilization until HBM runs out —
         # sweep and keep the best; an OOM at one size must not zero the run
@@ -106,8 +106,23 @@ def main():
                 float(many(variables, x))  # single readback per chain
             dt = (time.time() - t0) / reps
             tiles_per_sec = max(tiles_per_sec, k_chain * batch / dt)
-        except Exception:
+        except Exception as e:  # OOM at larger batches ends the sweep
+            sweep_error = f"batch {batch}: {type(e).__name__}: {e}"
             break
+    if tiles_per_sec == 0.0:
+        # no batch succeeded: report the failure instead of a silent zero
+        print(
+            json.dumps(
+                {
+                    "metric": "512px_tiles_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "tiles/s",
+                    "vs_baseline": 0.0,
+                    "note": f"measurement failed: {sweep_error}"[:400],
+                }
+            )
+        )
+        return
 
     print(
         json.dumps(

@@ -26,8 +26,16 @@ def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
     batch-padding and the host->device copy done in a background thread so
     transfer overlaps the previous batch's compute (double buffering). The
     reference instead blocks on a synchronous ``.cuda()`` per batch
-    (``uemda/utils/eval.py:40``)."""
+    (``uemda/utils/eval.py:40``).
+
+    With a mesh the batch is rounded up to a multiple of the device count
+    (the shared invariant for sharding the leading axis)."""
     import jax
+
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        batch_size = max(batch_size, n_dev)
+        batch_size -= batch_size % n_dev
 
     def gen():
         for indices, batch in sequential_batches(dataset, batch_size):
@@ -71,8 +79,6 @@ def evaluate_dataset(
         from uemda_tpu.parallel import shard_pytree_replicated
 
         variables = shard_pytree_replicated(mesh, variables)
-        batch_size = max(batch_size, len(mesh.devices))
-        batch_size -= batch_size % len(mesh.devices)
     hw = None
     predictor = None
     cm = jnp.zeros((meta.num_classes, meta.num_classes), jnp.int32)

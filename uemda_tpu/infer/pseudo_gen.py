@@ -54,8 +54,6 @@ def generate_pseudo_labels(
         from uemda_tpu.parallel import shard_pytree_replicated
 
         variables = shard_pytree_replicated(mesh, variables)
-        batch_size = max(batch_size, len(mesh.devices))
-        batch_size -= batch_size % len(mesh.devices)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     viz = VisualizeSegmm(color_dir, meta.palette) if color_dir else None

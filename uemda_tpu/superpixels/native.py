@@ -15,12 +15,42 @@ from typing import Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_SRC = os.path.join(_NATIVE_DIR, "superpixels.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libsuperpixels.so")
+def _find_src() -> str:
+    """Locate superpixels.cpp in the repo layout or an installed layout
+    (setup.py ships it as data under <sys.prefix>/uemda_tpu_native)."""
+    import sys
+
+    candidates = [
+        os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            "native",
+            "superpixels.cpp",
+        ),
+        os.path.join(sys.prefix, "uemda_tpu_native", "superpixels.cpp"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(
+        f"superpixels.cpp not found in any of: {candidates}"
+    )
+
+
+def _so_path(src: str) -> str:
+    """Cache the compiled library next to the source if writable, else in
+    the user cache dir."""
+    native_dir = os.path.dirname(src)
+    if os.access(native_dir, os.W_OK):
+        return os.path.join(native_dir, "libsuperpixels.so")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "uemda_tpu"
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libsuperpixels.so")
+
+
 _lock = threading.Lock()
 _lib = None
 
@@ -30,14 +60,16 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        src = _find_src()
+        so = _so_path(src)
+        if (not os.path.exists(so)) or (
+            os.path.getmtime(so) < os.path.getmtime(src)
         ):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
                 check=True,
             )
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         for fn_name in ("slic_superpixels", "lsc_superpixels"):
             fn = getattr(lib, fn_name)
             fn.restype = ctypes.c_int

@@ -70,6 +70,11 @@ class AsyncSaver:
         self._t.start()
 
     def save(self, path: str, state: Any):
+        # surface an earlier write failure at the next snapshot cadence —
+        # a run must not continue for hours believing snapshots exist
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
         self._q.put((path, _host(state)))
 
     def wait(self):

@@ -201,6 +201,13 @@ def run_training_loop(
         os.path.join(os.path.dirname(hooks.state_path), "best.json")
         if hooks.state_path else None
     )
+
+    def log_jsonl(record):
+        """Machine-readable loss/mIoU curve next to the state snapshot."""
+        if best_json:
+            path = os.path.join(os.path.dirname(best_json), "metrics.jsonl")
+            with open(path, "a") as f:
+                f.write(json.dumps(record) + "\n")
     # (maybe_resume deletes best.json on a fresh start, so its presence here
     # means a resumed run or a later chunk of the same run)
     if best_json and os.path.exists(best_json):
@@ -216,9 +223,10 @@ def run_training_loop(
             jax.profiler.start_trace(profile_dir)
             profiling = True
         if profiling and i == min(15, stop_steps - 1):
-            jax.tree.map(
-                lambda x: x.block_until_ready(), jax.tree.leaves(state.params)[0]
-            )
+            # scalar readback, NOT block_until_ready: the axon tunnel does
+            # not block in block_until_ready (CLAUDE.md gotcha) and a
+            # truncated trace is worse than no trace
+            float(jax.tree.leaves(state.params)[0].mean())
             jax.profiler.stop_trace()
             logger.info(f"profiler trace written to {profile_dir}")
             profile_dir = None
@@ -241,11 +249,7 @@ def run_training_loop(
             )
             msg = ", ".join(f"{k}={v:.4g}" for k, v in m.items())
             logger.info(f"iter={i + 1}/{stop_steps}, {msg}")
-            if best_json:  # machine-readable loss curve next to the snapshot
-                with open(
-                    os.path.join(os.path.dirname(best_json), "metrics.jsonl"), "a"
-                ) as f:
-                    f.write(json.dumps({"step": i + 1, **m}) + "\n")
+            log_jsonl({"step": i + 1, **m})
 
         if hooks.eval_fn is not None and (
             (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
@@ -278,15 +282,16 @@ def run_training_loop(
                 f"eval@{i + 1}: mIoU={miou:.5f} "
                 f"(best {miou_max:.5f} @ iter {iter_max})"
             )
-            if best_json:
-                with open(
-                    os.path.join(os.path.dirname(best_json), "metrics.jsonl"), "a"
-                ) as f:
-                    f.write(json.dumps({"step": i + 1, "miou": miou}) + "\n")
+            log_jsonl({"step": i + 1, "miou": miou})
     if hooks.state_path:
-        if saver is not None:
-            saver.wait()  # drain in-flight snapshots before the final one
-        save_checkpoint(hooks.state_path, state)
+        def final_save():
+            if saver is not None:
+                saver.wait()  # drain in-flight snapshots before the final one
+            save_checkpoint(hooks.state_path, state)
+
+        # the final readback must fail fast too if the runtime died on the
+        # very last step
+        _deadline(final_save, hooks.hang_timeout_s, "final state snapshot")
     logger.info(f">>>> used {(time.time() - t0) / 3600:.3f} hours")
     return state
 
@@ -303,11 +308,12 @@ def maybe_resume(state: TrainState, run_dir: str, resume, logger):
     elif resume == "auto" and os.path.exists(state_path):
         src = state_path
     if src is None:
-        # fresh start: clear stale best-tracking from an older run so the
-        # first eval can claim the best checkpoint again
-        best_json = os.path.join(run_dir, "best.json")
-        if os.path.exists(best_json):
-            os.remove(best_json)
+        # fresh start: clear stale per-run artifacts from an older run so
+        # best-tracking resets and the loss curve isn't appended mid-file
+        for stale in ("best.json", "metrics.jsonl"):
+            p = os.path.join(run_dir, stale)
+            if os.path.exists(p):
+                os.remove(p)
         return state, 0, state_path
     state = load_checkpoint(src, state)
     start = int(state.step)
