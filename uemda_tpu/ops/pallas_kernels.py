@@ -139,7 +139,11 @@ def _uvem_mine_kernel(
     u = -(p * logp).sum(axis=-1)  # (TR, 128)
     over = p > th[None, :, :]  # strict, pseudo_generation.py:83
     cnt = over.sum(axis=-1)
-    lab = jnp.argmax(over, axis=-1).astype(jnp.int32)
+    # Mosaic argmax only lowers for f32 inputs; the label is only consumed
+    # when exactly one class is over threshold, so a masked index-sum is
+    # equivalent (and VPU-cheaper) where it matters.
+    class_iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    lab = jnp.where(over, class_iota, 0).sum(axis=-1).astype(jnp.int32)
     lab = jnp.where(cnt != 1, jnp.int32(ignore_label), lab)
 
     # piecewise-parabola valuable-example weight (balance.py:396-423)
@@ -231,19 +235,35 @@ def uvem_mine_pallas(
 
 
 def _crop_norm_kernel(off_ref, img_ref, mean_ref, inv_std_ref, out_ref,
-                      scratch, sem):
+                      scratch, sem, *, th: int, tw3: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
     y = off_ref[b, 0]
     x3 = off_ref[b, 1]  # pixel offset * 3 (packed channels)
-    th, tw3 = scratch.shape
+    # Mosaic DMA slices in the tiled (sublane, lane) dims must be 8/128
+    # aligned — DMA the aligned superset window, then rotate the sub-tile
+    # remainder away in VMEM (tpu.dynamic_rotate) and take the static prefix.
+    y0 = (y // 8) * 8
+    x0 = (x3 // 128) * 128
+    dy = y - y0
+    dx = x3 - x0
+    sh, sw = scratch.shape
     dma = pltpu.make_async_copy(
-        img_ref.at[b, pl.ds(y, th), pl.ds(x3, tw3)], scratch, sem
+        img_ref.at[b, pl.ds(y0, sh), pl.ds(x0, sw)], scratch, sem
     )
     dma.start()
     dma.wait()
-    out_ref[0] = (scratch[...] - mean_ref[0]) * inv_std_ref[0]
+    v = scratch[...]
+    # shifts MUST be non-negative: Mosaic silently miscompiles negative
+    # dynamic rotates on multi-tile shapes (verified on v5e, jax 0.9.0)
+    if interpret:  # pltpu.roll lowers only for Mosaic; CPU tests use jnp
+        v = jnp.roll(v, sh - dy, axis=0)
+        v = jnp.roll(v, sw - dx, axis=1)
+    else:
+        v = pltpu.roll(v, sh - dy, axis=0)
+        v = pltpu.roll(v, sw - dx, axis=1)
+    out_ref[0] = (v[:th, :tw3] - mean_ref[0]) * inv_std_ref[0]
 
 
 def crop_normalize_pallas(
@@ -259,7 +279,14 @@ def crop_normalize_pallas(
     interpret = jax.devices()[0].platform == "cpu"
     b, h, w, ch = images.shape
     th, tw = int(crop_hw[0]), int(crop_hw[1])
-    packed = images.reshape(b, h, w * ch)
+    tw3 = tw * ch
+    # superset window: + one sublane tile of rows, + one lane tile of cols
+    sh = _round_up(th + 8, 8)
+    sw = _round_up(tw3 + 128, 128)
+    packed = images.reshape(b, h, w * ch).astype(jnp.float32)
+    # pad so the aligned superset never reads past the image edge:
+    # max row read is (y - y%8) + sh <= h + (sh - th), same for cols
+    packed = jnp.pad(packed, ((0, 0), (0, sh - th), (0, sw - tw3)))
     mean_row = jnp.tile(jnp.asarray(mean, jnp.float32), tw)[None, :]
     inv_std_row = (1.0 / jnp.tile(jnp.asarray(std, jnp.float32), tw))[None, :]
     off = jnp.stack([offsets[:, 0], offsets[:, 1] * ch], axis=1).astype(jnp.int32)
@@ -269,19 +296,21 @@ def crop_normalize_pallas(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, tw * ch), lambda b_, off_: (0, 0)),
-            pl.BlockSpec((1, tw * ch), lambda b_, off_: (0, 0)),
+            pl.BlockSpec((1, tw3), lambda b_, off_: (0, 0)),
+            pl.BlockSpec((1, tw3), lambda b_, off_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, th, tw * ch), lambda b_, off_: (b_, 0, 0)),
+        out_specs=pl.BlockSpec((1, th, tw3), lambda b_, off_: (b_, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((th, tw * ch), jnp.float32),
+            pltpu.VMEM((sh, sw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        _crop_norm_kernel,
+        functools.partial(
+            _crop_norm_kernel, th=th, tw3=tw3, interpret=interpret
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, th, tw * ch), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, th, tw3), jnp.float32),
         interpret=interpret,
-    )(off, packed.astype(jnp.float32), mean_row, inv_std_row)
+    )(off, packed, mean_row, inv_std_row)
     return out.reshape(b, th, tw, ch)
