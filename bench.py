@@ -75,40 +75,64 @@ def main():
     )()
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    variables = jax.tree.map(
-        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
-    )
+
+    # serving fast path (infer/fastpath.py): exact-math BN fold + fused dual
+    # head, plus the int8 variant (compute-bound GEMMs on the MXU int8 mode;
+    # serving-mode mIoU gate: all modes within ±0.002 — docs/PERF_NOTES.md).
+    # Fall back to the plain apply if the fold ever rejects the config.
+    modes = []
+    try:
+        from uemda_tpu.infer.fastpath import build_fastpath
+
+        modes.append(("fastpath_bf16",) + build_fastpath(model, variables, dtype=dtype))
+        if on_tpu:
+            modes.append(
+                ("fastpath_int8",) + build_fastpath(model, variables, dtype=dtype, int8=True)
+            )
+    except Exception:
+        modes = [(
+            "standard",
+            model,
+            jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                variables,
+            ),
+        )]
 
     batches = (64, 96, 128) if on_tpu else (2,)
     k_chain = 8 if on_tpu else 1
 
-    @jax.jit
-    def many(v, x):
-        def body(c, _):
-            out = model.apply(v, c, train=False)
-            # tie iterations together so the scan can't be parallelized away
-            return c + out[..., :3].mean() * 1e-6, out.mean()
-        _, means = jax.lax.scan(body, x, None, length=k_chain)
-        return means.mean()
-
     reps = 3 if on_tpu else 1
-    tiles_per_sec, sweep_error = 0.0, None
-    for batch in batches:
-        # larger batches improve MXU utilization until HBM runs out —
-        # sweep and keep the best; an OOM at one size must not zero the run
-        try:
-            x = jax.random.normal(
-                jax.random.key(1), (batch, 512, 512, 3), dtype
-            )
-            float(many(variables, x))  # compile + warm
-            t0 = time.time()
-            for _ in range(reps):
-                float(many(variables, x))  # single readback per chain
-            dt = (time.time() - t0) / reps
-            tiles_per_sec = max(tiles_per_sec, k_chain * batch / dt)
-        except Exception as e:  # OOM at larger batches ends the sweep
-            sweep_error = f"batch {batch}: {type(e).__name__}: {e}"
-            break
+    tiles_per_sec, best_mode, sweep_error = 0.0, None, None
+    for mode_name, mode_model, mode_vars in modes:
+
+        @jax.jit
+        def many(v, x, _m=mode_model):
+            def body(c, _):
+                out = _m.apply(v, c, train=False)
+                # tie iterations together so the scan can't be parallelized away
+                return c + out[..., :3].mean() * 1e-6, out.mean()
+            _, means = jax.lax.scan(body, x, None, length=k_chain)
+            return means.mean()
+
+        for batch in batches:
+            # larger batches improve MXU utilization until HBM runs out —
+            # sweep and keep the best; an OOM at one size must not zero the run
+            try:
+                x = jax.random.normal(
+                    jax.random.key(1), (batch, 512, 512, 3), dtype
+                )
+                float(many(mode_vars, x))  # compile + warm
+                t0 = time.time()
+                for _ in range(reps):
+                    float(many(mode_vars, x))  # single readback per chain
+                dt = (time.time() - t0) / reps
+                if k_chain * batch / dt > tiles_per_sec:
+                    tiles_per_sec = k_chain * batch / dt
+                    best_mode = mode_name
+            except Exception as e:  # OOM at larger batches ends the sweep
+                sweep_error = f"{mode_name} batch {batch}: {type(e).__name__}: {e}"
+                break
     if tiles_per_sec == 0.0:
         # no batch succeeded: report the failure instead of a silent zero
         print(
@@ -135,6 +159,8 @@ def main():
                     / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC),
                     4,
                 ),
+                "note": f"serving mode {best_mode} (exact-math fold; int8 "
+                "gated at ±0.002 mIoU vs standard, docs/PERF_NOTES.md)",
             }
         )
     )

@@ -1,0 +1,101 @@
+"""Serving fast path (uemda_tpu/infer/fastpath.py): the folded/restructured
+eval forward must match ``DeeplabV2.apply(train=False)`` — the reference eval
+surface (``uemda/models/Encoder.py:144-155``) — up to float reassociation.
+
+Covers: BN folding, space-to-depth stem, fused dual head, instance-norm
+restructure, space-to-batch dilated layer4, grouped ResNeXt convs, and the
+opt-in int8 head/stage quantization.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uemda_tpu.infer.fastpath import build_serving_params, make_serving_fn
+from uemda_tpu.models import DeeplabV2, DeeplabV2Config
+
+
+def _init(resnet_type, hw=64, seed=0, is_ins_norm=True):
+    cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type=resnet_type)
+    if not is_ins_norm:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, is_ins_norm=False)
+    model = DeeplabV2(cfg)
+    x = jax.random.normal(jax.random.key(seed + 1), (2, hw, hw, 3))
+    variables = model.init({"params": jax.random.key(seed)}, x, train=False)
+    ref = np.asarray(
+        jax.jit(lambda v, y: model.apply(v, y, train=False))(variables, x)
+    )
+    return model, variables, x, ref
+
+
+@pytest.mark.parametrize("resnet_type", ["resnet50", "resnet18"])
+@pytest.mark.parametrize("s2b", [False, True])
+def test_fastpath_f32_parity(resnet_type, s2b):
+    model, variables, x, ref = _init(resnet_type)
+    fn, params = make_serving_fn(
+        model, variables, dtype=jnp.float32, s2b_layer4=s2b
+    )
+    got = np.asarray(jax.jit(fn)(params, x))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.999
+
+
+def test_fastpath_grouped_resnext():
+    model, variables, x, ref = _init("resnext50_32x4d", hw=32, seed=3)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fastpath_without_instance_norm():
+    model, variables, x, ref = _init("resnet18", hw=32, seed=4,
+                                     is_ins_norm=False)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fastpath_int8_heads_and_stages_close():
+    model, variables, x, ref = _init("resnet18", hw=64, seed=5)
+    fn, params = make_serving_fn(
+        model, variables, dtype=jnp.float32, heads_int8=True,
+        int8_stages=(3, 4),
+    )
+    got = np.asarray(jax.jit(fn)(params, x))
+    # probabilities stay valid and close to the exact forward
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+    assert np.abs(got - ref).mean() < 0.02
+
+
+def test_fastpath_rejects_uncovered_configs():
+    import dataclasses
+
+    cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type="resnet18")
+    model = DeeplabV2(dataclasses.replace(cfg, cascade=True))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    with pytest.raises(ValueError):
+        build_serving_params(model, variables)
+
+    cfg_v1c = DeeplabV2Config.uemda_default(
+        num_classes=6, resnet_type="resnet50_v1c"
+    )
+    model2 = DeeplabV2(cfg_v1c)
+    variables2 = model2.init({"params": jax.random.key(0)}, x, train=False)
+    with pytest.raises(ValueError):
+        build_serving_params(model2, variables2)
+
+
+def test_fastpath_bf16_matches_standard_bf16_closely():
+    """The production serving dtype: fastpath bf16 vs standard bf16 apply
+    (both round through bf16; outputs should agree at bf16 noise level)."""
+    model, variables, x, ref = _init("resnet18", hw=32, seed=6)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.bfloat16)
+    got = np.asarray(jax.jit(fn)(params, x.astype(jnp.bfloat16)))
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=2e-2)
+    assert np.abs(got - ref).mean() < 0.03

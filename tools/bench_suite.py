@@ -35,17 +35,23 @@ def _bench(fn, *args, reps=3):
     return (time.time() - t0) / reps
 
 
-def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps, tile=512):
+def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
+               tile=512, fastpath=False):
     import jax
     import jax.numpy as jnp
 
     from uemda_tpu.infer.quant import Int8Model
 
     dtype = jnp.dtype(dtype_name)
-    v = jax.tree.map(
-        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
-    )
-    m = Int8Model(model) if int8 else model
+    if fastpath:
+        from uemda_tpu.infer.fastpath import build_fastpath
+
+        m, v = build_fastpath(model, variables, dtype=dtype, int8=int8)
+    else:
+        v = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
+        )
+        m = Int8Model(model) if int8 else model
 
     @jax.jit
     def many(v, x):
@@ -122,8 +128,10 @@ def bench_raster(model, variables, n_devices, reps, hw=(2048, 2048), tile=512,
 def main():
     parser = argparse.ArgumentParser(description="Extended benchmarks.")
     parser.add_argument("--modes", type=str,
-                        default="eval_bf16,eval_int8,train,raster",
-                        help="comma list: eval_bf16,eval_f32,eval_int8,train,raster")
+                        default="eval_bf16,eval_int8,eval_fastpath,"
+                        "eval_fastpath_int8,train,raster",
+                        help="comma list: eval_bf16,eval_f32,eval_int8,"
+                        "eval_fastpath,eval_fastpath_int8,train,raster")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--k-chain", type=int, default=None)
     parser.add_argument("--reps", type=int, default=None)
@@ -181,6 +189,14 @@ def main():
         emit("eval_int8_tiles_per_sec",
              bench_eval(model, variables, batch, k_chain, "bfloat16", True,
                         reps, tile), "tiles/s")
+    if "eval_fastpath" in modes:
+        emit("eval_fastpath_tiles_per_sec",
+             bench_eval(model, variables, batch, k_chain, "bfloat16", False,
+                        reps, tile, fastpath=True), "tiles/s")
+    if "eval_fastpath_int8" in modes:
+        emit("eval_fastpath_int8_tiles_per_sec",
+             bench_eval(model, variables, batch, k_chain, "bfloat16", True,
+                        reps, tile, fastpath=True), "tiles/s")
     if "train" in modes:
         from uemda_tpu.config import load_config
 

@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--int8", type=str2bool, default=0,
                         help="serve convs on the MXU int8 path (infer/quant.py)")
+    parser.add_argument("--fastpath", type=str2bool, default=0,
+                        help="folded serving fast path (infer/fastpath.py): "
+                        "BN-fold + fused dual head, exact math; with --int8, "
+                        "quantizes the compute-bound GEMMs instead of all convs")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path)
@@ -64,7 +68,11 @@ def main():
         from uemda_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.num_devices)
-    if args.int8:
+    if args.fastpath:
+        from uemda_tpu.infer.fastpath import build_fastpath
+
+        model, variables = build_fastpath(model, variables, int8=bool(args.int8))
+    elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
 
         model = Int8Model(model)

@@ -43,6 +43,9 @@ def main():
     parser.add_argument("--out-dir", type=str, required=True)
     parser.add_argument("--tta", type=str2bool, default=0)
     parser.add_argument("--int8", type=str2bool, default=0)
+    parser.add_argument("--fastpath", type=str2bool, default=0,
+                        help="folded serving fast path (infer/fastpath.py); "
+                        "with --int8, quantizes only the compute-bound GEMMs")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--ids", type=str2bool, default=1,
                         help="write raw class-id PNGs")
@@ -60,7 +63,11 @@ def main():
         variables = port_deeplabv2(load_torch_state_dict(args.ckpt_path))
     else:
         variables = load_checkpoint(args.ckpt_path, variables)
-    if args.int8:
+    if args.fastpath:
+        from uemda_tpu.infer.fastpath import build_fastpath
+
+        model, variables = build_fastpath(model, variables, int8=bool(args.int8))
+    elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
 
         model = Int8Model(model)

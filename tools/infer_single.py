@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--slide", type=str2bool, default=1)
     parser.add_argument("--int8", type=str2bool, default=0,
                         help="serve convs on the MXU int8 path (infer/quant.py)")
+    parser.add_argument("--fastpath", type=str2bool, default=0,
+                        help="folded serving fast path (infer/fastpath.py); "
+                        "with --int8, quantizes only the compute-bound GEMMs")
     parser.add_argument(
         "--raster",
         type=str2bool,
@@ -62,7 +65,11 @@ def main():
     img = read_image(args.image_path).astype(np.float32)[None]
     split = cfg.val
     x = normalize(jnp.asarray(img), split.mean, split.std)
-    if args.int8:
+    if args.fastpath:
+        from uemda_tpu.infer.fastpath import build_fastpath
+
+        model, variables = build_fastpath(model, variables, int8=bool(args.int8))
+    elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
 
         model = Int8Model(model)

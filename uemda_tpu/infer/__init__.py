@@ -3,3 +3,10 @@ from uemda_tpu.infer.evaluate import evaluate_dataset
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
 from uemda_tpu.infer.raster import RasterPlan, make_raster_predictor, raster_predict
 from uemda_tpu.infer.quant import Int8Model, int8_apply
+from uemda_tpu.infer.fastpath import (
+    FastpathModel,
+    build_fastpath,
+    build_serving_params,
+    make_serving_fn,
+    serving_forward,
+)
