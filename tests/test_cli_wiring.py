@@ -25,6 +25,23 @@ def test_run_pipeline_dry_run():
     assert "train_ssl_uem.py" in lines[4] and "--lt uvem" in lines[4]
 
 
+def test_run_pipeline_dry_run_proca():
+    """--method proca mirrors the reference runs/proca chain: no domain
+    alignment, train_align (not _uem), plain CE self-training."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_pipeline.py"),
+         "--config-path", "pRgb2vaihingen", "--method", "proca", "--dry-run"],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("+ ")]
+    assert len(lines) == 5
+    assert "--align-domain 0" in lines[0]
+    assert "train_align.py" in lines[2] and "--refine-label" not in lines[2]
+    assert "--lt ce" in lines[4] and "--refine-label" not in lines[4]
+
+
 def test_all_tools_parse_help():
     """Every CLI parses --help (argparse wiring, imports, flag names).
     One subprocess per tool is slow on this host — batch them in one

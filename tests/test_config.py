@@ -9,7 +9,8 @@ from uemda_tpu.config import PRESETS, load_config, snapshot_config
 
 
 def test_presets_cover_all_pairs():
-    assert set(PRESETS) == {"2vaihingen", "2potsdam", "2urban", "2rural"}
+    assert set(PRESETS) == {"2vaihingen", "2potsdam", "2urban", "2rural",
+                            "pRgb2vaihingen", "pRgb2potsdam"}
     v = PRESETS["2vaihingen"]
     assert v.class_num == 6 and v.ignore_label == -1
     assert v.stage1_steps == 4000 and v.stage2_steps == 6000
@@ -20,6 +21,13 @@ def test_presets_cover_all_pairs():
     # source norm stats follow the domain (ToVaihingen.py:51-53)
     assert abs(v.source.mean[0] - 97.4603) < 1e-3
     assert abs(v.target.mean[0] - 120.8217) < 1e-3
+    # ProCA RGB pairs (configs/st/proca/pRgb2vaihingen.py:26-28,38):
+    # ResNet-101, RGB-Potsdam source, Vaihingen stats on both domains
+    p = PRESETS["pRgb2vaihingen"]
+    assert p.model == "resnet101"
+    assert "Potsdam_rgb" in p.source.image_dir[0]
+    assert abs(p.source.mean[0] - 120.8217) < 1e-3
+    assert abs(PRESETS["pRgb2potsdam"].source.mean[0] - 123.675) < 1e-3
 
 
 def test_dotted_reference_form_resolves():

@@ -45,6 +45,11 @@ def main():
                         help="override steps for every training stage (smoke runs)")
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--pretrained", type=str, default=None)
+    parser.add_argument("--method", type=str, default="uemda",
+                        choices=["uemda", "proca"],
+                        help="uemda = reference runs/uemda chain (align_uem + "
+                        "ssl_uem/uvem + refine); proca = runs/proca baseline "
+                        "chain (no domain align, train_align + plain ssl/CE)")
     parser.add_argument("--resume", type=str, default="",
                         help="forwarded to the training stages ('auto' "
                              "continues each stage from its state_curr)")
@@ -65,9 +70,11 @@ def main():
         ["--num-devices", str(args.num_devices)] if args.num_devices else []
     )
 
+    proca = args.method == "proca"
     if 1 in sel:
+        # proca (runs/proca/*.sh): no CORAL domain alignment in stage 1
         run(py + [f"{TOOLS}/train_src.py", "--config-path", args.config_path,
-                  "--align-domain", "1"]
+                  "--align-domain", "0" if proca else "1"]
             + (["--pretrained", args.pretrained] if args.pretrained else [])
             + ov + nd, args.dry_run)
     if 2 in sel:
@@ -77,11 +84,19 @@ def main():
                   "--ckpt-proto", f"{log}/src/prototypes_init.msgpack"],
             args.dry_run)
     if 3 in sel:
-        run(py + [f"{TOOLS}/train_align_uem.py", "--config-path", args.config_path,
-                  "--align-domain", "1", "--refine-label", "1",
-                  "--ckpt-model", f"{log}/src/{tset}_best.msgpack",
-                  "--ckpt-proto", f"{log}/src/prototypes_init.msgpack"]
-            + ov + nd, args.dry_run)
+        if proca:
+            run(py + [f"{TOOLS}/train_align.py", "--config-path",
+                      args.config_path,
+                      "--ckpt-model", f"{log}/src/{tset}_best.msgpack",
+                      "--ckpt-proto", f"{log}/src/prototypes_init.msgpack"]
+                + ov + nd, args.dry_run)
+        else:
+            run(py + [f"{TOOLS}/train_align_uem.py", "--config-path",
+                      args.config_path,
+                      "--align-domain", "1", "--refine-label", "1",
+                      "--ckpt-model", f"{log}/src/{tset}_best.msgpack",
+                      "--ckpt-proto", f"{log}/src/prototypes_init.msgpack"]
+                + ov + nd, args.dry_run)
     if 4 in sel:
         run(py + [f"{TOOLS}/init_prototypes.py", "--config-path", args.config_path,
                   "--stage", "2",
@@ -89,10 +104,14 @@ def main():
                   "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"],
             args.dry_run)
     if 5 in sel:
-        run(py + [f"{TOOLS}/train_ssl_uem.py", "--config-path", args.config_path,
-                  "--gen", "1", "--refine-label", "1", "--lt", "uvem",
-                  "--ckpt-model", f"{log}/align/{tset}_best.msgpack",
-                  "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"]
+        ssl_flags = (
+            ["--gen", "1", "--lt", "ce"] if proca
+            else ["--gen", "1", "--refine-label", "1", "--lt", "uvem"]
+        )
+        run(py + [f"{TOOLS}/train_ssl_uem.py", "--config-path", args.config_path]
+            + ssl_flags
+            + ["--ckpt-model", f"{log}/align/{tset}_best.msgpack",
+               "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"]
             + ov + nd, args.dry_run)
 
 

@@ -145,6 +145,27 @@ PRESETS = {
     "2rural": _loveda_pair("2rural", "Rural", "Urban", "Rural"),
 }
 
+# ProCA-baseline RGB-Potsdam pairs (configs/st/proca/pRgb2vaihingen.py /
+# pRgb2potsdam.py): source = RGB-channel Potsdam tiles, ResNet-101 backbone;
+# pRgb2vaihingen normalizes both domains with Vaihingen stats (:27-28), while
+# pRgb2potsdam uses ImageNet stats everywhere (via ToPotsdam).
+PRESETS["pRgb2vaihingen"] = dataclasses.replace(
+    _isprs_pair(
+        "pRgb2vaihingen", "Vaihingen", "Vaihingen", "Vaihingen",
+        "Potsdam_rgb", "Vaihingen",
+    ),
+    model="resnet101",
+    snapshot_dir="./log/proca/pRgb2vaihingen",
+)
+PRESETS["pRgb2potsdam"] = dataclasses.replace(
+    _isprs_pair(
+        "pRgb2potsdam", "Potsdam", "ImageNet", "ImageNet",
+        "Potsdam_rgb", "Potsdam",
+    ),
+    model="resnet101",
+    snapshot_dir="./log/proca/pRgb2potsdam",
+)
+
 
 def load_config(name_or_path: str, snapshot_postfix: str = "") -> PairConfig:
     """Resolve a preset name ('2vaihingen', also accepts the reference's
