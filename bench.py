@@ -80,16 +80,22 @@ def main():
     # head, plus the int8 variant (compute-bound GEMMs on the MXU int8 mode;
     # serving-mode mIoU gate: all modes within ±0.002 — docs/PERF_NOTES.md).
     # Fall back to the plain apply if the fold ever rejects the config.
-    modes = []
-    try:
-        from uemda_tpu.infer.fastpath import build_fastpath
+    modes, build_error = [], None
+    from uemda_tpu.infer.fastpath import build_fastpath
 
+    try:
         modes.append(("fastpath_bf16",) + build_fastpath(model, variables, dtype=dtype))
-        if on_tpu:
+    except Exception as e:
+        build_error = f"fastpath build failed: {type(e).__name__}: {e}"
+    if modes and on_tpu:
+        # int8 build failure must not discard the working bf16 fastpath
+        try:
             modes.append(
                 ("fastpath_int8",) + build_fastpath(model, variables, dtype=dtype, int8=True)
             )
-    except Exception:
+        except Exception as e:
+            build_error = f"int8 fastpath build failed: {type(e).__name__}: {e}"
+    if not modes:
         modes = [(
             "standard",
             model,
@@ -160,7 +166,8 @@ def main():
                     4,
                 ),
                 "note": f"serving mode {best_mode} (exact-math fold; int8 "
-                "gated at ±0.002 mIoU vs standard, docs/PERF_NOTES.md)",
+                "gated at ±0.002 mIoU vs standard, docs/PERF_NOTES.md)"
+                + (f"; {build_error}" if build_error else ""),
             }
         )
     )

@@ -39,7 +39,8 @@ def test_run_pipeline_dry_run_proca():
     assert len(lines) == 5
     assert "--align-domain 0" in lines[0]
     assert "train_align.py" in lines[2] and "--refine-label" not in lines[2]
-    assert "--lt ce" in lines[4] and "--refine-label" not in lines[4]
+    # refinement must be explicitly disabled (train_ssl_uem defaults it on)
+    assert "--lt ce" in lines[4] and "--refine-label 0" in lines[4]
 
 
 def test_all_tools_parse_help():

@@ -104,8 +104,10 @@ def main():
                   "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"],
             args.dry_run)
     if 5 in sel:
+        # proca: refinement must be explicitly OFF (train_ssl_uem defaults
+        # --refine-label to 1; the reference baseline runs without it)
         ssl_flags = (
-            ["--gen", "1", "--lt", "ce"] if proca
+            ["--gen", "1", "--refine-label", "0", "--lt", "ce"] if proca
             else ["--gen", "1", "--refine-label", "1", "--lt", "uvem"]
         )
         run(py + [f"{TOOLS}/train_ssl_uem.py", "--config-path", args.config_path]

@@ -13,6 +13,10 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if not any(a == "--lt" for a in argv):
         argv += ["--lt", "ce"]
+    # reference train_ssl.py:45 defaults --refine-label to 0 (train_ssl_uem
+    # defaults it to 1) — preserve that default unless the caller overrides
+    if not any(a == "--refine-label" for a in argv):
+        argv += ["--refine-label", "0"]
     sys.argv = [sys.argv[0]] + argv
     import importlib.util
 

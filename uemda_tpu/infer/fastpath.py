@@ -43,7 +43,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from uemda_tpu.models.deeplabv2 import DeeplabV2
-from uemda_tpu.models.resnet import RESNET_SPECS, BasicBlock, stage_plan
+from uemda_tpu.models.resnet import (
+    RESNET_SPECS,
+    BasicBlock,
+    _max_pool_3x3_s2,
+    stage_plan,
+)
 from uemda_tpu.ops.resize import adaptive_avg_pool, resize_bilinear
 
 DIMS = ("NHWC", "HWIO", "NHWC")
@@ -97,13 +102,6 @@ def _conv(x, w, b, stride=1, dilation=1, groups=1, pad: Optional[Tuple] = None):
     return y + b.astype(x.dtype)
 
 
-def _maxpool_3x3_s2(x):
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
-
-
 def _instance_norm_fast(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Affine-free instance norm with f32 statistics but NO f32 copy of the
     activation (the standard path's x.astype(f32) materializes 2x the
@@ -122,12 +120,13 @@ def _instance_norm_fast(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-out-channel symmetric int8 weight quantization (same recipe as
-    ``infer/quant.py``, applied offline)."""
-    amax = np.abs(w).reshape(-1, w.shape[-1]).max(0)
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
-    return q, scale
+    """Per-out-channel symmetric int8 weight quantization — the one recipe
+    shared with the runtime interceptor (``infer/quant.py:_quantize_sym``),
+    applied offline here."""
+    from uemda_tpu.infer.quant import _quantize_sym
+
+    q, s = _quantize_sym(jnp.asarray(w, jnp.float32), axes=(0, 1, 2))
+    return np.asarray(q), np.asarray(s, np.float32).reshape(-1)
 
 
 def _conv_int8(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
@@ -188,15 +187,14 @@ def build_serving_params(
     stats = variables["batch_stats"]
     enc_p, enc_s = params["encoder"], stats["encoder"]
 
+    # meta holds exactly what serving_forward consumes — nothing write-only
     meta = {
         "block": "basic" if block_cls is BasicBlock else "bottleneck",
-        "layers": layers, "groups": groups, "base_width": base_width,
+        "groups": groups,
         "output_stride": cfg.backbone.output_stride,
         "is_ins_norm": cfg.is_ins_norm,
         "pool_scales": tuple(cfg.ppm.pool_scales),
-        "num_classes": cfg.num_classes,
         "s2b_layer4": bool(s2b_layer4),
-        "heads_int8": bool(heads_int8),
         "include_conv5": cfg.backbone.include_conv5,
     }
     out: Dict[str, Any] = {}
@@ -326,11 +324,25 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
     input resolution, ``Encoder.py:152-155``). ``meta`` is static — wrap
     with functools.partial before jit."""
     in_hw = (x.shape[1], x.shape[2])
+    # shapes are static under jit: reject inputs the restructured program
+    # cannot represent, with a clear message (the standard apply handles any
+    # size; slide inference always feeds the even dataset tile sizes)
+    mult = 2
+    if meta["s2b_layer4"]:
+        # s2b rewrites the dilate-2 stage: its input map (H/16 at OS16,
+        # H/8 at OS8) must split into 2x2 phases; OS32 has no dilated stage
+        mult = {8: 16, 16: 32, 32: 2}[meta["output_stride"]]
+    if in_hw[0] % mult or in_hw[1] % mult:
+        raise ValueError(
+            f"fastpath needs input H, W divisible by {mult} (space-to-depth "
+            f"stem{' + space-to-batch layer4' if mult == 32 else ''}); got "
+            f"{in_hw}. Use the standard model.apply for other sizes."
+        )
 
     # stem (space-to-depth): pad taps q in [-2,1] -> asymmetric (2,1)
     y = _space_to_depth(x)
     y = jax.nn.relu(_conv(y, **params["stem"], pad=((2, 1), (2, 1))))
-    y = _maxpool_3x3_s2(y)
+    y = _max_pool_3x3_s2(y)
 
     plan = stage_plan(meta["output_stride"])
     n_stages = 4 if meta["include_conv5"] else 3
@@ -374,6 +386,11 @@ class FastpathModel:
     train=False)`` runs the folded forward on serving params produced by
     :func:`build_serving_params`. ``meta`` is a plain attribute — it is
     closed over by the jitted predictor, never traced."""
+
+    # serving params are already laid out in their final dtypes (weights in
+    # the build dtype, biases/int8-scales deliberately f32): the predictors'
+    # blanket f32->compute cast must NOT touch them
+    params_precast = True
 
     def __init__(self, meta: Dict[str, Any]):
         self.meta = meta

@@ -200,11 +200,17 @@ def make_raster_predictor(
             return probs
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
+    # pre-folded serving params (infer/fastpath.py) keep biases/int8 scales
+    # in f32 on purpose — skip the blanket downcast for them
+    precast = getattr(model, "params_precast", False)
+
     @jax.jit
     def predict(variables, raster):
-        variables = jax.tree.map(
-            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
-        )
+        if not precast:
+            variables = jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                variables,
+            )
         # abstract trace only — no throwaway forward is compiled
         num_classes = jax.eval_shape(
             lambda v, x: model.apply(v, x, train=False),

@@ -83,10 +83,16 @@ def make_predictor(
     th, tw = tile
     dtype = jnp.dtype(compute_dtype)
 
+    # models with pre-folded serving params (infer/fastpath.py) keep their
+    # biases / int8 dequant scales in f32 on purpose — don't downcast them
+    precast = getattr(model, "params_precast", False)
+
     def predict(variables, images):
-        variables = jax.tree.map(
-            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
-        )
+        if not precast:
+            variables = jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                variables,
+            )
         b = images.shape[0]
         x = images.astype(dtype)
         tiles = [
