@@ -72,6 +72,13 @@ def test_fastpath_int8_heads_and_stages_close():
     assert np.abs(got - ref).mean() < 0.02
 
 
+def test_fastpath_v1c_deep_stem_parity():
+    model, variables, x, ref = _init("resnet50_v1c", hw=32, seed=7)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
 def test_fastpath_rejects_uncovered_configs():
     import dataclasses
 
@@ -82,13 +89,12 @@ def test_fastpath_rejects_uncovered_configs():
     with pytest.raises(ValueError):
         build_serving_params(model, variables)
 
-    cfg_v1c = DeeplabV2Config.uemda_default(
-        num_classes=6, resnet_type="resnet50_v1c"
-    )
-    model2 = DeeplabV2(cfg_v1c)
-    variables2 = model2.init({"params": jax.random.key(0)}, x, train=False)
-    with pytest.raises(ValueError):
-        build_serving_params(model2, variables2)
+
+def test_fastpath_rejects_odd_input_sizes():
+    model, variables, _, _ = _init("resnet18", hw=32, seed=8)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        fn(params, jnp.zeros((1, 33, 33, 3)))
 
 
 def test_fastpath_bf16_matches_standard_bf16_closely():

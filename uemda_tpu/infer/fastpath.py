@@ -28,9 +28,9 @@ program for inference:
   phases, then one batch-to-space before the heads.
 
 Supports the flagship model family: Bottleneck/BasicBlock ResNets (incl.
-grouped ResNeXt), OS 8/16/32, multi_layer non-cascade PPM heads, optional
-instance norm. ``build_serving_params`` raises for other configs — callers
-fall back to ``model.apply``.
+grouped ResNeXt and v1c deep stems), OS 8/16/32, multi_layer non-cascade
+PPM heads, optional instance norm. ``build_serving_params`` raises for
+other configs — callers fall back to ``model.apply``.
 
 Reference parity surface: eval forward ``Encoder.py:144-155`` (averaged
 softmax of twin heads upsampled with align_corners=True).
@@ -67,18 +67,25 @@ def _fold(conv_p: Dict[str, Any], bn_p: Dict[str, Any], bn_s: Dict[str, Any]):
 
 
 def _s2d_stem_kernel(w: np.ndarray) -> np.ndarray:
-    """(7,7,C,O) s2-conv kernel -> (4,4,4C,O) s1-kernel on 2x2 s2d input.
+    """(K,K,C,O) s2-conv kernel -> s1-kernel on 2x2 space-to-depth input
+    (K=7 -> 4x4 on 4C; K=3 -> 2x2 on 4C).
 
-    Tap d in [-3,3] = 2q + r with q in [-2,1], r in {0,1}; s2d channel
-    layout is (ry*2 + rx)*C + c (matching _space_to_depth below)."""
-    c, o = w.shape[2], w.shape[3]
-    w2 = np.zeros((4, 4, 4 * c, o), w.dtype)
-    for dy in range(-3, 4):
+    Tap d in [-K//2, K//2] decomposes uniquely as 2q + r with r in {0,1};
+    s2d channel layout is (ry*2 + rx)*C + c (matching _space_to_depth
+    below). The matching conv padding is (size//2, (size-1)//2) per axis —
+    derived from the kernel size in serving_forward."""
+    k, _, c, o = w.shape
+    r_ = k // 2
+    qmin, _ = divmod(-r_, 2)
+    qmax, _ = divmod(r_, 2)
+    size = qmax - qmin + 1
+    w2 = np.zeros((size, size, 4 * c, o), w.dtype)
+    for dy in range(-r_, r_ + 1):
         qy, ry = divmod(dy, 2)
-        for dx in range(-3, 4):
+        for dx in range(-r_, r_ + 1):
             qx, rx = divmod(dx, 2)
-            w2[qy + 2, qx + 2, (ry * 2 + rx) * c:(ry * 2 + rx + 1) * c] = \
-                w[dy + 3, dx + 3]
+            w2[qy - qmin, qx - qmin,
+               (ry * 2 + rx) * c:(ry * 2 + rx + 1) * c] = w[dy + r_, dx + r_]
     return w2
 
 
@@ -181,8 +188,6 @@ def build_serving_params(
     block_cls, layers, groups, base_width, deep_stem = RESNET_SPECS[
         cfg.backbone.resnet_type
     ]
-    if deep_stem:
-        raise ValueError("fast path does not cover v1c deep stems yet")
     params = variables["params"]
     stats = variables["batch_stats"]
     enc_p, enc_s = params["encoder"], stats["encoder"]
@@ -196,6 +201,7 @@ def build_serving_params(
         "pool_scales": tuple(cfg.ppm.pool_scales),
         "s2b_layer4": bool(s2b_layer4),
         "include_conv5": cfg.backbone.include_conv5,
+        "deep_stem": deep_stem,
     }
     out: Dict[str, Any] = {}
 
@@ -207,9 +213,18 @@ def build_serving_params(
         return {"wq": jnp.asarray(q), "s": jnp.asarray(s),
                 "b": jnp.asarray(b, jnp.float32)}
 
-    # stem: fold BN then re-index for space-to-depth
-    w, b = _fold(enc_p["conv1"], enc_p["bn1"]["bn"], enc_s["bn1"]["bn"])
-    out["stem"] = put(_s2d_stem_kernel(w), b)
+    # stem: fold BN then re-index the s2 conv for space-to-depth
+    if deep_stem:
+        # v1c (models/resnet.py:223-227): 3x3/s2 3->32, 3x3 32->32, 3x3 32->64
+        stems = []
+        for i in range(1, 4):
+            w, b = _fold(enc_p[f"stem_conv{i}"], enc_p[f"stem_bn{i}"]["bn"],
+                         enc_s[f"stem_bn{i}"]["bn"])
+            stems.append(put(_s2d_stem_kernel(w) if i == 1 else w, b))
+        out["deep_stem"] = stems
+    else:
+        w, b = _fold(enc_p["conv1"], enc_p["bn1"]["bn"], enc_s["bn1"]["bn"])
+        out["stem"] = put(_s2d_stem_kernel(w), b)
 
     n_stages = 4 if cfg.backbone.include_conv5 else 3
     for li in range(n_stages):
@@ -339,9 +354,21 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
             f"{in_hw}. Use the standard model.apply for other sizes."
         )
 
-    # stem (space-to-depth): pad taps q in [-2,1] -> asymmetric (2,1)
+    # stem (space-to-depth): the folded s2 kernel needs asymmetric padding
+    # (size//2, (size-1)//2) per axis ((2,1) for the 7x7, (1,0) for v1c 3x3)
+    def s2d_pad(w):
+        k = w.shape[0]
+        return ((k // 2, (k - 1) // 2),) * 2
+
     y = _space_to_depth(x)
-    y = jax.nn.relu(_conv(y, **params["stem"], pad=((2, 1), (2, 1))))
+    if meta["deep_stem"]:
+        stems = params["deep_stem"]
+        y = jax.nn.relu(_conv(y, **stems[0], pad=s2d_pad(stems[0]["w"])))
+        y = jax.nn.relu(_conv(y, **stems[1]))
+        y = jax.nn.relu(_conv(y, **stems[2]))
+    else:
+        y = jax.nn.relu(_conv(y, **params["stem"],
+                              pad=s2d_pad(params["stem"]["w"])))
     y = _max_pool_3x3_s2(y)
 
     plan = stage_plan(meta["output_stride"])

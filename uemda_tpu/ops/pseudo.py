@@ -48,8 +48,9 @@ def pseudo_selection_threshold(
     flat = probs.reshape(b, h * w, c)
     top = flat.max(axis=-1)
     label = jnp.argmax(flat, axis=-1)
-    pix_thresh = jnp.take_along_axis(
-        jnp.broadcast_to(thresh, flat.shape), label[..., None], axis=-1
-    )[..., 0]
+    # iota-compare mask-sum instead of take_along_axis: the gather lowers
+    # badly on TPU (serial fusion + layout-change copies); this fuses
+    onehot = label[..., None] == jnp.arange(c, dtype=jnp.int32)
+    pix_thresh = jnp.sum(jnp.where(onehot, thresh, 0.0), axis=-1)
     label = jnp.where(top < pix_thresh, ignore_label, label)
     return label.reshape(b, h, w).astype(jnp.int32)
