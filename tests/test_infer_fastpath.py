@@ -17,12 +17,14 @@ from uemda_tpu.infer.fastpath import build_serving_params, make_serving_fn
 from uemda_tpu.models import DeeplabV2, DeeplabV2Config
 
 
-def _init(resnet_type, hw=64, seed=0, is_ins_norm=True):
+def _init(resnet_type, hw=64, seed=0, is_ins_norm=True, use_ppm=True):
+    import dataclasses
+
     cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type=resnet_type)
     if not is_ins_norm:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, is_ins_norm=False)
+    if not use_ppm:
+        cfg = dataclasses.replace(cfg, use_ppm=False)
     model = DeeplabV2(cfg)
     x = jax.random.normal(jax.random.key(seed + 1), (2, hw, hw, 3))
     variables = model.init({"params": jax.random.key(seed)}, x, train=False)
@@ -70,6 +72,13 @@ def test_fastpath_int8_heads_and_stages_close():
     # probabilities stay valid and close to the exact forward
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
     assert np.abs(got - ref).mean() < 0.02
+
+
+def test_fastpath_aspp_head_parity():
+    model, variables, x, ref = _init("resnet18", hw=32, seed=9, use_ppm=False)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
 
 def test_fastpath_v1c_deep_stem_parity():

@@ -29,8 +29,10 @@ program for inference:
 
 Supports the flagship model family: Bottleneck/BasicBlock ResNets (incl.
 grouped ResNeXt and v1c deep stems), OS 8/16/32, multi_layer non-cascade
-PPM heads, optional instance norm. ``build_serving_params`` raises for
-other configs — callers fall back to ``model.apply``.
+PPM or ASPP heads (the two heads' same-dilation ASPP convs stack so feat
+is read once per dilation), optional instance norm.
+``build_serving_params`` raises for other configs — callers fall back to
+``model.apply``.
 
 Reference parity surface: eval forward ``Encoder.py:144-155`` (averaged
 softmax of twin heads upsampled with align_corners=True).
@@ -183,8 +185,8 @@ def build_serving_params(
     added to f32-accumulated conv outputs before the downcast).
     Raises ValueError for configs the fast path does not cover."""
     cfg = model.config
-    if not (cfg.multi_layer and not cfg.cascade and cfg.use_ppm):
-        raise ValueError("fast path covers multi_layer non-cascade PPM heads")
+    if not (cfg.multi_layer and not cfg.cascade):
+        raise ValueError("fast path covers multi_layer non-cascade heads")
     block_cls, layers, groups, base_width, deep_stem = RESNET_SPECS[
         cfg.backbone.resnet_type
     ]
@@ -202,6 +204,8 @@ def build_serving_params(
         "s2b_layer4": bool(s2b_layer4),
         "include_conv5": cfg.backbone.include_conv5,
         "deep_stem": deep_stem,
+        "head": "ppm" if cfg.use_ppm else "aspp",
+        "aspp_dilations": tuple(cfg.aspp_dilations),
     }
     out: Dict[str, Any] = {}
 
@@ -251,6 +255,24 @@ def build_serving_params(
 
     # heads: stack the two heads' shared-input convs, keep per-head the rest
     h5, h6 = params["layer5"], params["layer6"]
+    if not cfg.use_ppm:
+        # ASPP (Encoder.py:68-84): per dilation, one conv computing BOTH
+        # heads' logits (2C outputs) so feat is read once per dilation;
+        # biases ride along (the reference sums conv+bias per dilation)
+        out["aspp"] = [
+            put(
+                np.concatenate(
+                    [np.asarray(h5[f"aspp_d{d}"]["kernel"], np.float32),
+                     np.asarray(h6[f"aspp_d{d}"]["kernel"], np.float32)], -1
+                ),
+                np.concatenate(
+                    [np.asarray(h5[f"aspp_d{d}"]["bias"], np.float32),
+                     np.asarray(h6[f"aspp_d{d}"]["bias"], np.float32)], -1
+                ),
+            )
+            for d in cfg.aspp_dilations
+        ]
+        return meta, out
     s5, s6 = stats["layer5"], stats["layer6"]
     scales = {}
     for sc in cfg.ppm.pool_scales:
@@ -381,26 +403,38 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
     if meta["is_ins_norm"]:
         feat = _instance_norm_fast(feat)
 
-    # fused dual PPM head
-    h, w = feat.shape[1], feat.shape[2]
-    acc = _conv_any(feat, params["last_feat"])  # (B,h,w,1024): both heads
-    pooled = {sc: adaptive_avg_pool(feat, sc) for sc in meta["pool_scales"]}
-    both = {sc: jax.nn.relu(_conv_any(pooled[sc], params["ppm_scales"][sc]))
-            for sc in meta["pool_scales"]}
-    us = []
-    for hi in range(2):
-        u = jnp.concatenate([
-            resize_bilinear(both[sc][..., hi * 512:(hi + 1) * 512], (h, w),
-                            align_corners=False)
-            for sc in meta["pool_scales"]
-        ], axis=-1)
-        us.append(_conv_any(u, params["last_pool"][hi]))
-    acc = jax.nn.relu(acc + jnp.concatenate(us, axis=-1))
+    if meta["head"] == "aspp":
+        # fused dual ASPP head: each dilation's conv yields both heads' C
+        # logits stacked; sum over dilations, then split per head
+        acc = None
+        for i, d in enumerate(meta["aspp_dilations"]):
+            z = _conv_any(feat, params["aspp"][i], dilation=d)
+            acc = z if acc is None else acc + z
+        c = acc.shape[-1] // 2
+        head_logits = [acc[..., :c], acc[..., c:]]
+    else:
+        # fused dual PPM head
+        h, w = feat.shape[1], feat.shape[2]
+        acc = _conv_any(feat, params["last_feat"])  # (B,h,w,1024): both heads
+        pooled = {sc: adaptive_avg_pool(feat, sc) for sc in meta["pool_scales"]}
+        both = {sc: jax.nn.relu(_conv_any(pooled[sc], params["ppm_scales"][sc]))
+                for sc in meta["pool_scales"]}
+        us = []
+        for hi in range(2):
+            u = jnp.concatenate([
+                resize_bilinear(both[sc][..., hi * 512:(hi + 1) * 512], (h, w),
+                                align_corners=False)
+                for sc in meta["pool_scales"]
+            ], axis=-1)
+            us.append(_conv_any(u, params["last_pool"][hi]))
+        acc = jax.nn.relu(acc + jnp.concatenate(us, axis=-1))
+        head_logits = [
+            _conv(acc[..., hi * 512:(hi + 1) * 512], **params["classifier"][hi])
+            for hi in range(2)
+        ]
 
     probs = None
-    for hi in range(2):
-        logits = _conv(acc[..., hi * 512:(hi + 1) * 512],
-                       **params["classifier"][hi])
+    for logits in head_logits:
         p = jax.nn.softmax(
             resize_bilinear(logits, in_hw, align_corners=True), axis=-1)
         probs = p if probs is None else probs + p
