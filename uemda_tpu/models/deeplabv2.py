@@ -14,6 +14,7 @@ single-head mode mirrors ``Encoder.py:156-165``.
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from uemda_tpu.models.config import DeeplabV2Config, PPMConfig
@@ -25,11 +26,20 @@ from uemda_tpu.ops.resize import resize_bilinear
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch nn.InstanceNorm2d default: per-(sample, channel) over H,W,
     affine=False, track_running_stats=False (``Encoder.py:118-123``).
-    Statistics in f32 regardless of activation dtype."""
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=(1, 2), keepdims=True)
-    var = xf.var(axis=(1, 2), keepdims=True)
-    return ((xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
+    Statistics in f32 regardless of activation dtype.
+
+    Formulated so the f32 statistics accumulate inside the reductions
+    without a materialized f32 copy of the activation: the naive
+    ``xf = x.astype(f32); xf.var(...)`` pins a second full-size f32 tensor
+    in HBM (~5 ms/step on the 2048-ch feat at batch 8 512^2 in the train
+    XProf trace). E[x^2] - E[x]^2 is the same biased variance up to f32
+    rounding (clamped at 0)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True
+    ) - jnp.square(mean)
+    scale = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return ((x.astype(jnp.float32) - mean) * scale).astype(x.dtype)
 
 
 class DeeplabV2(nn.Module):
