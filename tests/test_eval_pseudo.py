@@ -132,6 +132,30 @@ def test_pseudo_gen_on_mesh(setup, tmp_path):
     np.testing.assert_allclose(p.sum(-1), np.ones(p.shape[:2]), atol=2e-2)
 
 
+def test_pseudo_gen_fastpath_matches_standard(setup):
+    """--gen-fastpath: the folded sweep must reproduce the standard pass
+    (f32 exact up to reassociation), including through a mesh."""
+    root, model, variables = setup
+    import os
+
+    from uemda_tpu.parallel import make_mesh
+
+    ds = SegDataset(
+        IsprsDA, os.path.join(root, "img_dir", "train"), None, label_type="none"
+    )
+    kw = dict(tile=(32, 32), tta=False, batch_size=8, compute_dtype="float32")
+    ref = generate_pseudo_labels(model, variables, ds, MEAN, STD, **kw)
+    fast = generate_pseudo_labels(
+        model, variables, ds, MEAN, STD, fastpath=True, **kw
+    )
+    fast_mesh = generate_pseudo_labels(
+        model, variables, ds, MEAN, STD, fastpath=True, mesh=make_mesh(8), **kw
+    )
+    for k in ref:
+        np.testing.assert_allclose(fast[k], ref[k], atol=2e-3)
+        np.testing.assert_allclose(fast_mesh[k], ref[k], atol=2e-3)
+
+
 def test_analyze_pseudo_labels(setup, tmp_path):
     """Perfect pseudo labels -> accuracy 1.0; coverage reflects mining."""
     import os

@@ -43,6 +43,9 @@ def main():
     parser.add_argument("--config-path", type=str, default="2vaihingen")
     parser.add_argument("--ckpt-model", type=str, required=True)
     parser.add_argument("--gen", type=str2bool, default=1)
+    parser.add_argument("--gen-fastpath", type=str2bool, default=0,
+                        help="run the pseudo-label sweep on the folded "
+                        "serving fast path (infer/fastpath.py, exact math)")
     parser.add_argument("--ls", type=str, default="CrossEntropy",
                         choices=["CrossEntropy", "OhemCrossEntropy"])
     parser.add_argument("--bcs", type=str2bool, default=0)
@@ -95,7 +98,7 @@ def main():
             out_dir=pseudo_dir, tile=cfg.crop, tta=True,
             batch_size=min(4, cfg.target.batch_size),
             cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low, logger=logger,
-            mesh=mesh,
+            mesh=mesh, fastpath=bool(args.gen_fastpath),
         )
         ds = SegDataset(
             cfg.meta, list(cfg.target.image_dir), pseudo_dir, label_type="prob"

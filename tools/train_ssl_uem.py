@@ -50,6 +50,9 @@ def main():
     parser.add_argument("--ckpt-model", type=str, required=True)
     parser.add_argument("--ckpt-proto", type=str, required=True)
     parser.add_argument("--gen", type=str2bool, default=1)
+    parser.add_argument("--gen-fastpath", type=str2bool, default=0,
+                        help="run the pseudo-label sweep on the folded "
+                        "serving fast path (infer/fastpath.py, exact math)")
     parser.add_argument("--refine-label", type=str2bool, default=1)
     parser.add_argument("--refine-mode", type=str, default="all",
                         choices=["s", "p", "n", "l", "all"])
@@ -117,6 +120,7 @@ def main():
             batch_size=min(4, cfg.target.batch_size),
             cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low,
             color_dir=pseudo_dir + "_color", logger=logger, mesh=mesh,
+            fastpath=bool(args.gen_fastpath),
         )
 
     loss_name = {"ours": "uvem"}.get(args.lt, args.lt)

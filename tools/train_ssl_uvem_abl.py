@@ -47,6 +47,9 @@ def main():
     parser.add_argument("--ckpt-model", type=str, required=True)
     parser.add_argument("--ckpt-proto", type=str, required=True)
     parser.add_argument("--gen", type=str2bool, default=1)
+    parser.add_argument("--gen-fastpath", type=str2bool, default=0,
+                        help="run the pseudo-label sweep on the folded "
+                        "serving fast path (infer/fastpath.py, exact math)")
     parser.add_argument("--refine-label", type=str2bool, default=1)
     parser.add_argument("--refine-mode", type=str, default="all",
                         choices=["s", "p", "n", "l", "all"])
@@ -118,7 +121,7 @@ def main():
             out_dir=pseudo_dir, tile=cfg.crop, tta=True,
             batch_size=min(4, cfg.target.batch_size),
             cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low, logger=logger,
-            mesh=mesh,
+            mesh=mesh, fastpath=bool(args.gen_fastpath),
         )
         ds = SegDataset(
             cfg.meta, list(cfg.target.image_dir), pseudo_dir,

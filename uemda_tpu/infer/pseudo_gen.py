@@ -42,14 +42,30 @@ def generate_pseudo_labels(
     compute_dtype: str = "bfloat16",
     logger=None,
     mesh=None,
+    fastpath: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Returns {filename: (H, W, C) fp16 probs} (if keep_in_memory) and/or
     writes ``<out_dir>/<filename>.npy`` per image.
 
     With ``mesh``, the batched slide+TTA pass shards images across chips —
     the in-memory multi-chip replacement for the reference's per-image loop
-    + disk round-trip (pseudo_generation.py:96-155)."""
+    + disk round-trip (pseudo_generation.py:96-155).
+
+    ``fastpath`` folds the variables into the serving fast path
+    (infer/fastpath.py, exact math) for the sweep — worth it because this
+    pass runs slide + 8 TTA views over the full target split; silently
+    falls back to the standard apply for uncovered model configs."""
     meta = dataset.meta
+    if fastpath:
+        try:
+            from uemda_tpu.infer.fastpath import build_fastpath
+
+            model, variables = build_fastpath(
+                model, variables, dtype=jnp.dtype(compute_dtype)
+            )
+        except (ValueError, KeyError) as e:
+            if logger is not None:
+                logger.info(f"fastpath unavailable ({e}); using standard apply")
     if mesh is not None:
         from uemda_tpu.parallel import shard_pytree_replicated
 
