@@ -13,18 +13,19 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from uemda_tpu.infer.fastpath import build_serving_params, make_serving_fn
+from uemda_tpu.infer.fastpath import make_serving_fn
 from uemda_tpu.models import DeeplabV2, DeeplabV2Config
 
 
-def _init(resnet_type, hw=64, seed=0, is_ins_norm=True, use_ppm=True):
+def _init(resnet_type, hw=64, seed=0, is_ins_norm=True, use_ppm=True,
+          multi_layer=True, cascade=False):
     import dataclasses
 
     cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type=resnet_type)
-    if not is_ins_norm:
-        cfg = dataclasses.replace(cfg, is_ins_norm=False)
-    if not use_ppm:
-        cfg = dataclasses.replace(cfg, use_ppm=False)
+    cfg = dataclasses.replace(
+        cfg, is_ins_norm=is_ins_norm, use_ppm=use_ppm,
+        multi_layer=multi_layer, cascade=cascade,
+    )
     model = DeeplabV2(cfg)
     x = jax.random.normal(jax.random.key(seed + 1), (2, hw, hw, 3))
     variables = model.init({"params": jax.random.key(seed)}, x, train=False)
@@ -88,15 +89,24 @@ def test_fastpath_v1c_deep_stem_parity():
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
 
-def test_fastpath_rejects_uncovered_configs():
-    import dataclasses
+def test_fastpath_single_head_parity():
+    """multi_layer=False: one cls_pred head, plain softmax eval
+    (Encoder.py:156-165)."""
+    model, variables, x, ref = _init("resnet18", hw=32, seed=11,
+                                     multi_layer=False)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
-    cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type="resnet18")
-    model = DeeplabV2(dataclasses.replace(cfg, cascade=True))
-    x = jnp.zeros((1, 32, 32, 3))
-    variables = model.init({"params": jax.random.key(0)}, x, train=False)
-    with pytest.raises(ValueError):
-        build_serving_params(model, variables)
+
+@pytest.mark.parametrize("use_ppm", [True, False])
+def test_fastpath_cascade_parity(use_ppm):
+    """cascade: head1 on c4, head2 on c5 (Encoder.py:131-143)."""
+    model, variables, x, ref = _init("resnet18", hw=32, seed=12,
+                                     cascade=True, use_ppm=use_ppm)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
 
 def test_fastpath_rejects_odd_input_sizes():

@@ -27,12 +27,11 @@ program for inference:
   output turns every dilated 3x3 into a dense 3x3 on a 4x-batch of half-res
   phases, then one batch-to-space before the heads.
 
-Supports the flagship model family: Bottleneck/BasicBlock ResNets (incl.
-grouped ResNeXt and v1c deep stems), OS 8/16/32, multi_layer non-cascade
-PPM or ASPP heads (the two heads' same-dilation ASPP convs stack so feat
-is read once per dilation), optional instance norm.
-``build_serving_params`` raises for other configs — callers fall back to
-``model.apply``.
+Supports every DeeplabV2 config branch: Bottleneck/BasicBlock ResNets
+(incl. grouped ResNeXt and v1c deep stems), OS 8/16/32, PPM or ASPP
+heads in dual / single-head (cls_pred) / cascade (c4+c5) arrangements,
+optional instance norm. Heads sharing an input feature map are built as a
+"group" whose shared-input convs stack so the feature map is read once.
 
 Reference parity surface: eval forward ``Encoder.py:144-155`` (averaged
 softmax of twin heads upsampled with align_corners=True).
@@ -178,8 +177,6 @@ def build_serving_params(
     added to f32-accumulated conv outputs before the downcast).
     Raises ValueError for configs the fast path does not cover."""
     cfg = model.config
-    if not (cfg.multi_layer and not cfg.cascade):
-        raise ValueError("fast path covers multi_layer non-cascade heads")
     block_cls, layers, groups, base_width, deep_stem = RESNET_SPECS[
         cfg.backbone.resnet_type
     ]
@@ -246,56 +243,76 @@ def build_serving_params(
             blocks.append(blk)
         out[f"layer{li + 1}"] = blocks
 
-    # heads: stack the two heads' shared-input convs, keep per-head the rest
-    h5, h6 = params["layer5"], params["layer6"]
-    if not cfg.use_ppm:
-        # ASPP (Encoder.py:68-84): per dilation, one conv computing BOTH
-        # heads' logits (2C outputs) so feat is read once per dilation;
-        # biases ride along (the reference sums conv+bias per dilation)
-        out["aspp"] = [
-            put(
-                np.concatenate(
-                    [np.asarray(h5[f"aspp_d{d}"]["kernel"], np.float32),
-                     np.asarray(h6[f"aspp_d{d}"]["kernel"], np.float32)], -1
-                ),
-                np.concatenate(
-                    [np.asarray(h5[f"aspp_d{d}"]["bias"], np.float32),
-                     np.asarray(h6[f"aspp_d{d}"]["bias"], np.float32)], -1
-                ),
-            )
-            for d in cfg.aspp_dilations
+    # heads as GROUPS: heads that share an input feature map stack their
+    # shared-input convs so the feat is read once. Flagship dual-head =
+    # one group of two (Encoder.py:144-151); single-head (cls_pred,
+    # Encoder.py:156-165) = one group of one; cascade (Encoder.py:131-143,
+    # head1 on c4, head2 on c5) = two groups of one.
+    if not cfg.multi_layer:
+        groups_names = [("cls_pred",)]
+    elif cfg.cascade:
+        groups_names = [("layer5",), ("layer6",)]
+    else:
+        groups_names = [("layer5", "layer6")]
+    meta["head_group_sizes"] = tuple(len(g) for g in groups_names)
+    meta["cascade"] = bool(cfg.multi_layer and cfg.cascade)
+
+    def build_group(names):
+        hps = [params[n] for n in names]
+        g: Dict[str, Any] = {}
+        if not cfg.use_ppm:
+            # ASPP (Encoder.py:68-84): per dilation, one conv computing the
+            # group's stacked logits; biases ride along (the reference sums
+            # conv+bias per dilation)
+            g["aspp"] = [
+                put(
+                    np.concatenate(
+                        [np.asarray(hp[f"aspp_d{d}"]["kernel"], np.float32)
+                         for hp in hps], -1),
+                    np.concatenate(
+                        [np.asarray(hp[f"aspp_d{d}"]["bias"], np.float32)
+                         for hp in hps], -1),
+                )
+                for d in cfg.aspp_dilations
+            ]
+            return g
+        hss = [stats[n] for n in names]
+        scales = {}
+        for sc in cfg.ppm.pool_scales:
+            folded = [
+                _fold(hp[f"ppm{sc}_conv"], hp[f"ppm{sc}_bn"]["bn"],
+                      hs[f"ppm{sc}_bn"]["bn"])
+                for hp, hs in zip(hps, hss)
+            ]
+            # one 1x1 conv computing every head-in-group's 512-ch branch
+            scales[sc] = put(np.concatenate([w for w, _ in folded], -1),
+                             np.concatenate([b for _, b in folded], -1))
+        g["ppm_scales"] = scales
+
+        lasts = [
+            _fold(hp["last_conv"], hp["last_bn"]["bn"], hs["last_bn"]["bn"])
+            for hp, hs in zip(hps, hss)
         ]
-        return meta, out
-    s5, s6 = stats["layer5"], stats["layer6"]
-    scales = {}
-    for sc in cfg.ppm.pool_scales:
-        w5, b5 = _fold(h5[f"ppm{sc}_conv"], h5[f"ppm{sc}_bn"]["bn"],
-                       s5[f"ppm{sc}_bn"]["bn"])
-        w6, b6 = _fold(h6[f"ppm{sc}_conv"], h6[f"ppm{sc}_bn"]["bn"],
-                       s6[f"ppm{sc}_bn"]["bn"])
-        # one 1x1 conv computing both heads' 512-ch branches
-        scales[sc] = put(np.concatenate([w5, w6], -1),
-                         np.concatenate([b5, b6], -1))
-    out["ppm_scales"] = scales
+        fc = lasts[0][0].shape[2] - 512 * len(cfg.ppm.pool_scales)  # feat ch
+        # split each head's concat kernel into the feat part and the pooled
+        # part; stack the feat parts so feat is read once through one GEMM
+        mk = put_q if heads_int8 else put
+        g["last_feat"] = mk(
+            np.concatenate([w[:, :, :fc] for w, _ in lasts], -1),
+            np.concatenate([b for _, b in lasts], -1),
+        )
+        g["last_pool"] = [
+            mk(w[:, :, fc:], np.zeros(w.shape[-1], np.float32))
+            for w, _ in lasts
+        ]
+        g["classifier"] = [
+            put(np.asarray(hp["classifier"]["kernel"], np.float32),
+                np.asarray(hp["classifier"]["bias"], np.float32))
+            for hp in hps
+        ]
+        return g
 
-    wl5, bl5 = _fold(h5["last_conv"], h5["last_bn"]["bn"], s5["last_bn"]["bn"])
-    wl6, bl6 = _fold(h6["last_conv"], h6["last_bn"]["bn"], s6["last_bn"]["bn"])
-    fc = wl5.shape[2] - 512 * len(cfg.ppm.pool_scales)  # feat channels
-    # split each head's concat kernel into the feat part and the pooled part;
-    # stack the feat parts so feat is read once through one 2048->1024 GEMM
-    wf = np.concatenate([wl5[:, :, :fc], wl6[:, :, :fc]], -1)
-    bf = np.concatenate([bl5, bl6], -1)
-    wps = [wl5[:, :, fc:], wl6[:, :, fc:]]
-    mk = put_q if heads_int8 else put
-    out["last_feat"] = mk(wf, bf)
-    out["last_pool"] = [mk(w, np.zeros(w.shape[-1], np.float32))
-                        for w in wps]
-
-    cls5, cls6 = h5["classifier"], h6["classifier"]
-    out["classifier"] = [
-        put(np.asarray(c["kernel"], np.float32), np.asarray(c["bias"], np.float32))
-        for c in (cls5, cls6)
-    ]
+    out["head_groups"] = [build_group(g) for g in groups_names]
     return meta, out
 
 
@@ -388,50 +405,64 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
 
     plan = stage_plan(meta["output_stride"])
     n_stages = 4 if meta["include_conv5"] else 3
+    outs = []
     for li in range(n_stages):
         stride, dilate = plan[li]
         y = _stage_forward(y, params[f"layer{li + 1}"], meta, stride, dilate,
                            s2b=meta["s2b_layer4"])
-    feat = y
-    if meta["is_ins_norm"]:
-        feat = _instance_norm_fast(feat)
+        outs.append(y)
 
-    if meta["head"] == "aspp":
-        # fused dual ASPP head: each dilation's conv yields both heads' C
-        # logits stacked; sum over dilations, then split per head
-        acc = None
-        for i, d in enumerate(meta["aspp_dilations"]):
-            z = _conv_any(feat, params["aspp"][i], dilation=d)
-            acc = z if acc is None else acc + z
-        c = acc.shape[-1] // 2
-        head_logits = [acc[..., :c], acc[..., c:]]
-    else:
-        # fused dual PPM head
-        h, w = feat.shape[1], feat.shape[2]
-        acc = _conv_any(feat, params["last_feat"])  # (B,h,w,1024): both heads
-        pooled = {sc: adaptive_avg_pool(feat, sc) for sc in meta["pool_scales"]}
-        both = {sc: jax.nn.relu(_conv_any(pooled[sc], params["ppm_scales"][sc]))
-                for sc in meta["pool_scales"]}
-        us = []
-        for hi in range(2):
-            u = jnp.concatenate([
-                resize_bilinear(both[sc][..., hi * 512:(hi + 1) * 512], (h, w),
-                                align_corners=False)
+    # cascade feeds pyramid[-2] to group 0 and pyramid[-1] to group 1
+    # (Encoder.py:131-143); the other modes run one group on pyramid[-1]
+    feats = [outs[-2], outs[-1]] if meta["cascade"] else [outs[-1]]
+    head_logits = []
+    for g_params, g_size, feat in zip(
+        params["head_groups"], meta["head_group_sizes"], feats
+    ):
+        if meta["is_ins_norm"]:
+            feat = _instance_norm_fast(feat)
+        if meta["head"] == "aspp":
+            # fused group ASPP: each dilation's conv yields the group's
+            # stacked logits; sum over dilations, then split per head
+            acc = None
+            for i, d in enumerate(meta["aspp_dilations"]):
+                z = _conv_any(feat, g_params["aspp"][i], dilation=d)
+                acc = z if acc is None else acc + z
+            c = acc.shape[-1] // g_size
+            head_logits += [acc[..., hi * c:(hi + 1) * c]
+                            for hi in range(g_size)]
+        else:
+            # fused group PPM head
+            h, w = feat.shape[1], feat.shape[2]
+            acc = _conv_any(feat, g_params["last_feat"])  # all heads' 512s
+            pooled = {sc: adaptive_avg_pool(feat, sc)
+                      for sc in meta["pool_scales"]}
+            both = {
+                sc: jax.nn.relu(_conv_any(pooled[sc], g_params["ppm_scales"][sc]))
                 for sc in meta["pool_scales"]
-            ], axis=-1)
-            us.append(_conv_any(u, params["last_pool"][hi]))
-        acc = jax.nn.relu(acc + jnp.concatenate(us, axis=-1))
-        head_logits = [
-            _conv(acc[..., hi * 512:(hi + 1) * 512], **params["classifier"][hi])
-            for hi in range(2)
-        ]
+            }
+            us = []
+            for hi in range(g_size):
+                u = jnp.concatenate([
+                    resize_bilinear(both[sc][..., hi * 512:(hi + 1) * 512],
+                                    (h, w), align_corners=False)
+                    for sc in meta["pool_scales"]
+                ], axis=-1)
+                us.append(_conv_any(u, g_params["last_pool"][hi]))
+            acc = jax.nn.relu(acc + jnp.concatenate(us, axis=-1))
+            head_logits += [
+                _conv(acc[..., hi * 512:(hi + 1) * 512],
+                      **g_params["classifier"][hi])
+                for hi in range(g_size)
+            ]
 
+    # eval tail (Encoder.py:152-155): mean of per-head softmax at input res
     probs = None
     for logits in head_logits:
         p = jax.nn.softmax(
             resize_bilinear(logits, in_hw, align_corners=True), axis=-1)
         probs = p if probs is None else probs + p
-    return probs / 2.0
+    return probs / len(head_logits)
 
 
 class FastpathModel:
