@@ -56,6 +56,7 @@ tools = [  # train_ssl is a __main__-only delegator, exercised by e2e runs
     "vis_pseudo_labels", "vis_corrected_pseudo_labels", "tsne_dataset",
     "tsne_img", "generate_superpixels", "convert_datasets", "statistic",
     "class_distribution", "port_weights", "bench_suite", "run_pipeline",
+    "serving_gate",
 ]
 ok = 0
 for t in tools:

@@ -117,6 +117,33 @@ def test_raster_low_overlap_no_wrap_contamination():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_raster_fastpath_compose_matches_standard():
+    """FastpathModel through the sharded raster path (serving combo):
+    folded params replicate over the mesh, the predictor skips the
+    blanket downcast (params_precast), and predictions match the
+    standard model's raster pass."""
+    from uemda_tpu.infer.fastpath import build_fastpath
+    from uemda_tpu.infer.raster import raster_predict
+    from uemda_tpu.models import DeeplabV2, DeeplabV2Config
+
+    mesh = make_mesh(4)
+    cfg = DeeplabV2Config.uemda_default(num_classes=6, resnet_type="resnet18")
+    model = DeeplabV2(cfg)
+    raster = np.random.default_rng(9).random((64, 32, 3)).astype(np.float32) * 255
+    variables = model.init(
+        {"params": jax.random.key(1)}, jnp.ones((1, 16, 16, 3)), train=False
+    )
+    kw = dict(tile=(16, 16), compute_dtype="float32", window_chunk=2)
+    ref = np.asarray(raster_predict(
+        model, variables, raster, (128.0,) * 3, (64.0,) * 3, mesh, **kw
+    ))
+    fp_model, fp_params = build_fastpath(model, variables, dtype=jnp.float32)
+    got = np.asarray(raster_predict(
+        fp_model, fp_params, raster, (128.0,) * 3, (64.0,) * 3, mesh, **kw
+    ))
+    assert (got == ref).mean() > 0.99  # argmax ties may flip on reassociation
+
+
 def test_raster_predict_convenience_and_int8_compose():
     """raster_predict normalizes + runs; Int8Model composes with the
     sharded raster path (serving combo)."""
