@@ -75,4 +75,4 @@ print("HELP_OK", ok)
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 0, out.stderr[-3000:]
-    assert "HELP_OK 23" in out.stdout
+    assert "HELP_OK 24" in out.stdout

@@ -102,3 +102,24 @@ def test_frozen_bn_does_not_update_stats():
     before = vars_["batch_stats"]["encoder"]["bn1"]["bn"]["mean"]
     after = mut["batch_stats"]["encoder"]["bn1"]["bn"]["mean"]
     assert (jnp.asarray(before) == jnp.asarray(after)).all()
+
+
+def test_instance_norm_high_mean_stability():
+    """Regression: the variance must be the two-pass mean of squared
+    deviations — E[x^2]-E[x]^2 catastrophically cancels in f32 for
+    high-mean low-variance channels (e.g. a near-saturated ReLU channel)."""
+    import numpy as np
+
+    from uemda_tpu.models.deeplabv2 import instance_norm
+
+    rng = np.random.default_rng(0)
+    x = (1000.0 + 0.01 * rng.standard_normal((2, 16, 16, 4))).astype(np.float32)
+    y = np.asarray(instance_norm(jnp.asarray(x)))
+    x64 = x.astype(np.float64)
+    want = (x64 - x64.mean((1, 2), keepdims=True)) / np.sqrt(
+        x64.var((1, 2), keepdims=True) + 1e-5
+    )
+    # f32 two-pass keeps ~3% error at mean/std=1e5 (input-rounding limited);
+    # the cancelling E[x^2]-E[x]^2 form was off by >7 here (750%)
+    np.testing.assert_allclose(y, want.astype(np.float32), atol=6e-2)
+    assert abs(float(y.mean())) < 1e-2 and abs(float(y.std()) - 1.0) < 5e-2

@@ -18,6 +18,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 import json
 
+from uemda_tpu.utils.log import str2bool
 from uemda_tpu.utils.runtime import enable_compile_cache
 
 enable_compile_cache()
@@ -27,8 +28,8 @@ def main():
     parser = argparse.ArgumentParser(description="Serving-mode mIoU gate.")
     parser.add_argument("--config-path", type=str, default="2vaihingen")
     parser.add_argument("--ckpt-path", type=str, required=True)
-    parser.add_argument("--test", type=lambda s: s not in ("0", "false"),
-                        default=0, help="use TEST split instead of EVAL")
+    parser.add_argument("--test", type=str2bool, default=0,
+                        help="use TEST split instead of EVAL")
     parser.add_argument("--modes", type=str,
                         default="standard,fastpath,fastpath_int8,int8",
                         help="comma list: standard,fastpath,fastpath_int8,int8")
@@ -70,8 +71,15 @@ def main():
             return Int8Model(model), variables
         raise ValueError(mode)
 
+    modes = args.modes.split(",")
+    if "standard" not in modes:
+        # the gate is a comparison — there is nothing to gate without the
+        # baseline mode, and exiting 0 would read as "quality verified"
+        modes = ["standard"] + modes
+        print(json.dumps({"note": "added 'standard' baseline to --modes"}))
+
     results = {}
-    for mode in args.modes.split(","):
+    for mode in modes:
         m, v = build(mode)
         _, miou = evaluate_dataset(
             m, v, dataset, split.mean, split.std, tile=cfg.crop,

@@ -175,7 +175,9 @@ def build_serving_params(
     pass it via functools.partial — it is not a jit-traceable pytree) and a
     pytree of jnp arrays in ``dtype`` (biases in f32 — they are tiny and
     added to f32-accumulated conv outputs before the downcast).
-    Raises ValueError for configs the fast path does not cover."""
+    Every DeeplabV2 config branch is covered; the only runtime rejection
+    left is the input-size check in :func:`serving_forward` (ValueError for
+    sizes the space-to-depth/space-to-batch reshapes cannot represent)."""
     cfg = model.config
     block_cls, layers, groups, base_width, deep_stem = RESNET_SPECS[
         cfg.backbone.resnet_type
@@ -263,9 +265,11 @@ def build_serving_params(
         if not cfg.use_ppm:
             # ASPP (Encoder.py:68-84): per dilation, one conv computing the
             # group's stacked logits; biases ride along (the reference sums
-            # conv+bias per dilation)
+            # conv+bias per dilation). heads_int8 quantizes these — they are
+            # the head GEMMs of this config (3x3 over the full feat width)
+            mk_head = put_q if heads_int8 else put
             g["aspp"] = [
-                put(
+                mk_head(
                     np.concatenate(
                         [np.asarray(hp[f"aspp_d{d}"]["kernel"], np.float32)
                          for hp in hps], -1),

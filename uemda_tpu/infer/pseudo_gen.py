@@ -53,11 +53,17 @@ def generate_pseudo_labels(
 
     ``fastpath`` folds the variables into the serving fast path
     (infer/fastpath.py, exact math) for the sweep — worth it because this
-    pass runs slide + 8 TTA views over the full target split; silently
-    falls back to the standard apply for uncovered model configs."""
+    pass runs slide + 8 TTA views over the full target split; logs and
+    falls back to the standard apply when the fold is unusable (odd tile
+    sizes, unexpected checkpoint structure)."""
     meta = dataset.meta
     if fastpath:
         try:
+            if tile[0] % 2 or tile[1] % 2:
+                # serving_forward's space-to-depth stem would reject the
+                # odd tile at trace time, deep inside the jitted predictor —
+                # fail here so the fallback actually runs
+                raise ValueError(f"odd tile size {tile} not fastpath-able")
             from uemda_tpu.infer.fastpath import build_fastpath
 
             model, variables = build_fastpath(
