@@ -81,3 +81,24 @@ def test_pallas_segment_kernels_match_xla():
     np.testing.assert_allclose(
         np.asarray(got_sum), np.asarray(ref_sum), rtol=1e-4, atol=1e-5
     )
+
+
+def test_pallas_segment_gather_matches_take_along_axis():
+    """The one-hot-matmul gather-back kernel vs take_along_axis."""
+    from uemda_tpu.ops.pallas_kernels import segment_gather_pallas
+
+    rng = np.random.default_rng(11)
+    seg_vals = jnp.asarray(rng.random((2, 20, 6)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 20, (2, 250)), jnp.int32)
+    ref = jnp.take_along_axis(seg_vals, ids[..., None], axis=1)
+    got = segment_gather_pallas(seg_vals, ids, tile=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_superpixel_view_probs_pallas_impl_matches_xla():
+    rng = np.random.default_rng(12)
+    probs = jnp.asarray(rng.random((2, 16, 16, 6)), jnp.float32)
+    sup = jnp.asarray(rng.integers(0, 10, (2, 16, 16)), jnp.int32)
+    ref = superpixel_view_probs(probs, sup, 12, impl="xla")
+    got = superpixel_view_probs(probs, sup, 12, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)

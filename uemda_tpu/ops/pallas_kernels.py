@@ -53,11 +53,13 @@ def _seg_sum_kernel(ids_ref, val_ref, out_ref, *, seg_pad: int, c_pad: int):
     ids = ids_ref[0, 0, 0, :]
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], seg_pad), 1)
     onehot = (ids[:, None] == seg_iota).astype(jnp.float32)  # (T, S)
-    # (S, T) @ (T, C) on the MXU
+    # (S, T) @ (T, C) on the MXU; HIGHEST so f32 values are not rounded
+    # through bf16 on their way into the accumulation
     out_ref[0] += jax.lax.dot_general(
         onehot, val_ref[0, 0],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -112,6 +114,60 @@ def segment_sum_pallas(
     return _run_segment_kernel(
         _seg_sum_kernel, data, segment_ids, num_segments, tile
     )
+
+
+def _seg_gather_kernel(ids_ref, seg_ref, out_ref, *, seg_pad: int):
+    ids = ids_ref[0, 0, 0, :]  # (T,)
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], seg_pad), 1)
+    onehot = (ids[:, None] == seg_iota).astype(jnp.float32)  # (T, S)
+    # (T, S) @ (S, C) on the MXU — the gather-back as a one-hot matmul.
+    # HIGHEST: the default precision rounds f32 operands through bf16,
+    # corrupting the selected values (a gather must be exact)
+    out_ref[0, 0] = jax.lax.dot_general(
+        onehot, seg_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def segment_gather_pallas(
+    seg_vals: jnp.ndarray, segment_ids: jnp.ndarray, tile: int = 1024,
+) -> jnp.ndarray:
+    """Batched gather-back: seg_vals (B, S, C), ids (B, N) -> (B, N, C),
+    out[b, p] = seg_vals[b, ids[b, p]].
+
+    XLA lowers ``take_along_axis`` over the segment axis to SparseCore
+    scatter/gather plumbing with slow memory-space copies of the id map
+    (~12 ms + 15 ms/copy per stage-3 step in the XProf trace); here the
+    gather is a per-tile one-hot matmul that stays on the MXU."""
+    interpret = jax.devices()[0].platform == "cpu"
+    b, s, c = seg_vals.shape
+    n = segment_ids.shape[1]
+    seg_pad = _round_up(s, 128)
+    c_pad = _round_up(c, 128)  # MXU lane width; padding is free zeros
+    n_pad = _round_up(n, tile)
+    seg_vals = jnp.pad(
+        seg_vals.astype(jnp.float32), ((0, 0), (0, seg_pad - s), (0, c_pad - c))
+    )
+    ids = jnp.pad(
+        segment_ids.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
+        constant_values=seg_pad,
+    )
+    n_tiles = n_pad // tile
+    ids = ids.reshape(b, n_tiles, 1, tile)
+    out = pl.pallas_call(
+        functools.partial(_seg_gather_kernel, seg_pad=seg_pad),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, tile), lambda b_, t_: (b_, t_, 0, 0)),
+            pl.BlockSpec((1, seg_pad, c_pad), lambda b_, t_: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile, c_pad), lambda b_, t_: (b_, t_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, tile, c_pad), jnp.float32),
+        interpret=interpret,
+    )(ids, seg_vals)
+    return out.reshape(b, n_pad, c_pad)[:, :n, :c]
 
 
 # ---------------------------------------------------------------------------

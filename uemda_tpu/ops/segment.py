@@ -36,12 +36,20 @@ def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int):
 
 
 def superpixel_view_probs(
-    probs: jnp.ndarray, sup: jnp.ndarray, max_segments: int
+    probs: jnp.ndarray, sup: jnp.ndarray, max_segments: int,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Per-pixel class probabilities pooled by max over the pixel's superpixel.
 
     Reference superpixel view (``alignment.py:238-250``): scatter-max of the
     soft label over superpixel ids, gathered back per pixel.
+
+    ``impl``: 'xla' (jax.ops segment reduce + take_along_axis — the default:
+    measured FASTER in-step on v5e, 36 vs 51 ms chained at batch 8 512^2
+    S=1057; its SparseCore memory-space copies overlap with compute),
+    'pallas' (VMEM-accumulator kernels, ops/pallas_kernels.py — kept for
+    larger segment counts where the serialized scatter scales worse), or
+    'auto' = xla.
 
     Args:
       probs: (B, H, W, C) soft labels.
@@ -53,9 +61,18 @@ def superpixel_view_probs(
     b, h, w, c = probs.shape
     flat_p = probs.reshape(b, h * w, c)
     flat_s = sup.reshape(b, h * w).astype(jnp.int32)
-    pooled = segment_max(flat_p, flat_s, max_segments)  # (B, S, C)
-    gathered = jnp.take_along_axis(pooled, flat_s[..., None], axis=1)
-    return gathered.reshape(b, h, w, c)
+    if impl == "pallas":
+        from uemda_tpu.ops.pallas_kernels import (
+            segment_gather_pallas,
+            segment_max_pallas,
+        )
+
+        pooled = segment_max_pallas(flat_p, flat_s, max_segments)
+        gathered = segment_gather_pallas(pooled, flat_s)
+    else:
+        pooled = segment_max(flat_p, flat_s, max_segments)  # (B, S, C)
+        gathered = jnp.take_along_axis(pooled, flat_s[..., None], axis=1)
+    return gathered.reshape(b, h, w, c).astype(probs.dtype)
 
 
 def superpixel_expand(
