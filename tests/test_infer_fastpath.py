@@ -109,6 +109,37 @@ def test_fastpath_cascade_parity(use_ppm):
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
 
+def test_fastpath_int8_calibrated_scales_match_dynamic_on_calib_batch():
+    """Calibrating on batch X and serving X must track the dynamic-amax
+    outputs closely (the static scale matches the dynamic one up to
+    eager-vs-jit reduction reassociation, which perturbs int8 rounding)."""
+    from uemda_tpu.infer.fastpath import build_fastpath, calibrate_act_scales
+
+    model, variables, x, ref = _init("resnet18", hw=32, seed=13)
+    fp, params = build_fastpath(model, variables, dtype=jnp.float32, int8=True)
+    dyn = np.asarray(jax.jit(fp.apply)(params, x))
+    cal_params = calibrate_act_scales(fp.meta, params, [x])
+    cal = np.asarray(jax.jit(fp.apply)(cal_params, x))
+    np.testing.assert_allclose(cal.sum(-1), 1.0, atol=1e-3)
+    assert np.abs(cal - dyn).mean() < 5e-3
+    assert np.abs(cal - ref).mean() < 0.02  # still close to the exact fwd
+    # and the scales really are embedded
+    leaves_with_a = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if "a" in t and "wq" in t:
+                leaves_with_a.append(t)
+            for v in t.values():
+                walk(v)
+        elif isinstance(t, list):
+            for v in t:
+                walk(v)
+
+    walk(cal_params)
+    assert len(leaves_with_a) > 0
+
+
 def test_fastpath_rejects_odd_input_sizes():
     model, variables, _, _ = _init("resnet18", hw=32, seed=8)
     fn, params = make_serving_fn(model, variables, dtype=jnp.float32)

@@ -31,8 +31,12 @@ def main():
     parser.add_argument("--test", type=str2bool, default=0,
                         help="use TEST split instead of EVAL")
     parser.add_argument("--modes", type=str,
-                        default="standard,fastpath,fastpath_int8,int8",
-                        help="comma list: standard,fastpath,fastpath_int8,int8")
+                        default="standard,fastpath,fastpath_int8,"
+                        "fastpath_int8cal,int8",
+                        help="comma list: standard,fastpath,fastpath_int8,"
+                        "fastpath_int8cal (static activation scales "
+                        "calibrated on --calib-batches of this split),int8")
+    parser.add_argument("--calib-batches", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--tolerance", type=float, default=0.005,
                         help="max |mIoU - standard| before exit code 1")
@@ -58,13 +62,30 @@ def main():
     dataset = SegDataset(cfg.meta, list(split.image_dir), list(split.mask_dir)[0])
     batch = args.batch_size or split.batch_size
 
+    def calib_batches(n):
+        from uemda_tpu.datasets.augment import normalize
+        from uemda_tpu.infer.evaluate import device_batches
+
+        out = []
+        for _, images, _, _ in device_batches(dataset, batch):
+            out.append(normalize(images, split.mean, split.std))
+            if len(out) >= n:
+                break
+        return out
+
     def build(mode):
         if mode == "standard":
             return model, variables
-        if mode in ("fastpath", "fastpath_int8"):
-            from uemda_tpu.infer.fastpath import build_fastpath
+        if mode in ("fastpath", "fastpath_int8", "fastpath_int8cal"):
+            from uemda_tpu.infer.fastpath import (
+                build_fastpath,
+                calibrate_act_scales,
+            )
 
-            return build_fastpath(model, variables, int8=mode.endswith("int8"))
+            m, p = build_fastpath(model, variables, int8="int8" in mode)
+            if mode == "fastpath_int8cal":
+                p = calibrate_act_scales(m.meta, p, calib_batches(args.calib_batches))
+            return m, p
         if mode == "int8":
             from uemda_tpu.infer.quant import Int8Model
 

@@ -7,6 +7,7 @@ from uemda_tpu.infer.fastpath import (
     FastpathModel,
     build_fastpath,
     build_serving_params,
+    calibrate_act_scales,
     make_serving_fn,
     serving_forward,
 )

@@ -130,19 +130,34 @@ def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(q), np.asarray(s, np.float32).reshape(-1)
 
 
+# trace-time collector for activation-scale calibration: a list appended in
+# forward-visit order (set only inside _amax_trace; single-threaded trace)
+_AMAX_COLLECTOR: Optional[list] = None
+
+
 def _conv_int8(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
                b: jnp.ndarray, stride=1, dilation=1, groups=1,
-               pad: Optional[Tuple] = None) -> jnp.ndarray:
-    """int8 x int8 -> int32 conv with dynamic per-tensor activation scale;
-    dequantized epilogue returns x.dtype. Only worth it on compute-bound
-    convs (the head GEMMs, late-stage 3x3s): the extra quantize pass costs
-    HBM traffic."""
+               pad: Optional[Tuple] = None,
+               a: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """int8 x int8 -> int32 conv; dequantized epilogue returns x.dtype.
+
+    Activation scale: dynamic per-tensor amax by default, or a static
+    calibrated scale ``a`` (see :func:`calibrate_act_scales`) — the dynamic
+    amax is a full-activation reduction barrier between layers, a static
+    scale lets the quantize fuse into the producing op. Out-of-calibration
+    outliers saturate at +-127. Only worth it on compute-bound convs (the
+    head GEMMs, late-stage 3x3s): the quantize pass costs HBM traffic."""
     k = wq.shape[0]
     if pad is None:
         p = dilation * (k - 1) // 2
         pad = ((p, p), (p, p))
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    a_scale = jnp.maximum(amax, 1e-8) / 127.0
+    if a is not None:
+        a_scale = a
+    else:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        if _AMAX_COLLECTOR is not None:
+            _AMAX_COLLECTOR.append(amax)
+        a_scale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
                   ).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
@@ -155,9 +170,9 @@ def _conv_int8(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
 
 def _conv_any(x, p: Dict[str, Any], **kw):
     """Dispatch on params entry: {'w','b'} -> bf16/f32 conv, {'wq','s','b'}
-    -> int8 conv."""
+    -> int8 conv (+ optional static activation scale 'a')."""
     if "wq" in p:
-        return _conv_int8(x, p["wq"], p["s"], p["b"], **kw)
+        return _conv_int8(x, p["wq"], p["s"], p["b"], a=p.get("a"), **kw)
     return _conv(x, p["w"], p["b"], **kw)
 
 
@@ -469,6 +484,71 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
     return probs / len(head_logits)
 
 
+def _map_int8_entries(tree, fn):
+    """Recursively rebuild the serving-params structure, applying ``fn`` to
+    every int8 conv entry (dicts containing 'wq')."""
+    if isinstance(tree, dict):
+        if "wq" in tree:
+            return fn(tree)
+        return {k: _map_int8_entries(v, fn) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_map_int8_entries(v, fn) for v in tree]
+    return tree
+
+
+def _amax_trace(meta, params, x):
+    """(amax vector in forward-visit order) for one batch — jittable: the
+    collector list is filled with tracers during the single trace."""
+    global _AMAX_COLLECTOR
+    _AMAX_COLLECTOR = []
+    try:
+        serving_forward(meta, params, x)
+        if not _AMAX_COLLECTOR:
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.stack(_AMAX_COLLECTOR)
+    finally:
+        _AMAX_COLLECTOR = None
+
+
+def calibrate_act_scales(
+    meta: Dict[str, Any], params: Dict[str, Any], batches,
+) -> Dict[str, Any]:
+    """Post-training calibration of static int8 activation scales.
+
+    Runs one jitted collection forward per batch of ``batches``
+    (already-normalized (B, H, W, 3) arrays) recording every int8 site's
+    dynamic per-tensor amax, then embeds ``a = max_over_batches(amax)/127``
+    into the entries. With static scales the quantize fuses into the
+    producing op instead of waiting on a full-activation amax reduction;
+    out-of-calibration outliers saturate at +-127.
+
+    Sites are matched to entries by forward-visit order, which equals the
+    params build/walk order (validated end-to-end by the calibration
+    parity test — a mismatch would corrupt the scales and the outputs)."""
+    import functools
+
+    fn = jax.jit(functools.partial(_amax_trace, meta))
+    agg = None
+    for x in batches:
+        cur = np.asarray(fn(params, jnp.asarray(x)))
+        agg = cur if agg is None else np.maximum(agg, cur)
+    if agg is None or agg.size == 0:
+        return params
+
+    it = iter(agg.tolist())
+
+    def embed(entry):
+        return {**entry, "a": jnp.float32(max(next(it), 1e-8) / 127.0)}
+
+    out = _map_int8_entries(params, embed)
+    try:
+        next(it)
+        raise AssertionError("more amax values than int8 entries")
+    except StopIteration:
+        pass
+    return out
+
+
 class FastpathModel:
     """Duck-types ``DeeplabV2`` for the serving pipelines (``infer/slide.py``,
     ``infer/evaluate.py``, ``infer/raster.py``): ``apply(params, x,
@@ -496,17 +576,23 @@ def build_fastpath(
     variables: Dict[str, Any],
     dtype: Any = jnp.bfloat16,
     int8: bool = False,
+    calibration_batches=None,
 ) -> Tuple["FastpathModel", Dict[str, Any]]:
     """CLI-facing entry: fold ``variables`` and return ``(model-like,
     serving_params)`` ready for ``make_predictor`` / ``evaluate_dataset``.
     ``int8=True`` additionally quantizes the compute-bound GEMMs (both head
     convs + stage-3/4 3x3s) — the measured-fastest serving mode; verify mIoU
-    with tools/eval.py before serving int8."""
+    with tools/serving_gate.py before serving int8.
+    ``calibration_batches``: optional iterable of normalized (B, H, W, 3)
+    arrays — embeds static activation scales (:func:`calibrate_act_scales`)
+    so serving skips the per-layer dynamic amax reductions."""
     meta, params = build_serving_params(
         model, variables, dtype=dtype,
         s2b_layer4=False,  # measured slower on v5e (docs/PERF_NOTES.md)
         heads_int8=int8, int8_stages=(3, 4) if int8 else (),
     )
+    if int8 and calibration_batches is not None:
+        params = calibrate_act_scales(meta, params, calibration_batches)
     return FastpathModel(meta), params
 
 
