@@ -39,6 +39,10 @@ def main():
                         help="folded serving fast path (infer/fastpath.py): "
                         "BN-fold + fused dual head, exact math; with --int8, "
                         "quantizes the compute-bound GEMMs instead of all convs")
+    parser.add_argument("--calib-batches", type=int, default=0,
+                        help="with --fastpath --int8: calibrate static int8 "
+                        "activation scales on this many eval batches (faster "
+                        "serving than dynamic per-tensor amax)")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path)
@@ -71,7 +75,21 @@ def main():
     if args.fastpath:
         from uemda_tpu.infer.fastpath import build_fastpath
 
-        model, variables = build_fastpath(model, variables, int8=bool(args.int8))
+        calib = None
+        if args.int8 and args.calib_batches > 0:
+            from uemda_tpu.datasets.augment import normalize
+            from uemda_tpu.infer.evaluate import device_batches
+
+            calib = []
+            for _, images, _, _ in device_batches(
+                dataset, args.batch_size or split.batch_size
+            ):
+                calib.append(normalize(images, split.mean, split.std))
+                if len(calib) >= args.calib_batches:
+                    break
+        model, variables = build_fastpath(
+            model, variables, int8=bool(args.int8), calibration_batches=calib
+        )
     elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
 

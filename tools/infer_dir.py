@@ -46,6 +46,9 @@ def main():
     parser.add_argument("--fastpath", type=str2bool, default=0,
                         help="folded serving fast path (infer/fastpath.py); "
                         "with --int8, quantizes only the compute-bound GEMMs")
+    parser.add_argument("--calib-batches", type=int, default=0,
+                        help="with --fastpath --int8: calibrate static int8 "
+                        "activation scales on this many input batches")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--ids", type=str2bool, default=1,
                         help="write raw class-id PNGs")
@@ -63,10 +66,21 @@ def main():
         variables = port_deeplabv2(load_torch_state_dict(args.ckpt_path))
     else:
         variables = load_checkpoint(args.ckpt_path, variables)
+    dataset = SegDataset(cfg.meta, args.img_dir, None, label_type="none")
+    split = cfg.val
     if args.fastpath:
         from uemda_tpu.infer.fastpath import build_fastpath
 
-        model, variables = build_fastpath(model, variables, int8=bool(args.int8))
+        calib = None
+        if args.int8 and args.calib_batches > 0:
+            calib = []
+            for _, images, _, _ in device_batches(dataset, args.batch_size):
+                calib.append(normalize(images, split.mean, split.std))
+                if len(calib) >= args.calib_batches:
+                    break
+        model, variables = build_fastpath(
+            model, variables, int8=bool(args.int8), calibration_batches=calib
+        )
     elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
 
@@ -78,10 +92,8 @@ def main():
         mesh = make_mesh(args.num_devices)
         variables = shard_pytree_replicated(mesh, variables)
 
-    dataset = SegDataset(cfg.meta, args.img_dir, None, label_type="none")
     os.makedirs(args.out_dir, exist_ok=True)
     viz = VisualizeSegmm(args.out_dir, cfg.meta.palette) if args.color else None
-    split = cfg.val
 
     predictor, hw = None, None
     t0, done = time.time(), 0
