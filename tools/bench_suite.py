@@ -136,6 +136,9 @@ def main():
     parser.add_argument("--k-chain", type=int, default=None)
     parser.add_argument("--reps", type=int, default=None)
     parser.add_argument("--raster-devices", type=int, default=None)
+    parser.add_argument("--train-batch", type=int, default=None,
+                        help="train-step batch size (default 8, the "
+                        "reference schedule)")
     parser.add_argument("--tiny", action="store_true",
                         help="smoke mode: resnet18, 64px tiles, 256px raster")
     args = parser.parse_args()
@@ -203,10 +206,11 @@ def main():
         cfg = load_config("2vaihingen")
         if args.tiny:
             cfg = dataclasses.replace(cfg, crop=(64, 64), model="resnet18")
+        tb = args.train_batch or (2 if args.tiny else 8)
         for k, v in bench_train_steps(
-            cfg, model, variables, reps, batch=2 if args.tiny else 8
+            cfg, model, variables, reps, batch=tb
         ).items():
-            emit(k, v, "ms")
+            emit(k + (f"_b{tb}" if tb != 8 else ""), v, "ms")
     if "raster" in modes:
         n = args.raster_devices or len(jax.devices())
         hw = (256, 256) if args.tiny else (2048, 2048)
