@@ -3,4 +3,4 @@
 # (rebuild of the reference runs/proca/*.sh chain)
 set -e
 cd "$(dirname "$0")/../.."
-python tools/run_pipeline.py --config-path pRgb2potsdam --method proca "$@"
+python tools/run_pipeline.py --config-path proca.pRgb2potsdam --method proca "$@"

@@ -4,4 +4,4 @@
 # alignment -> init_prototypes -> train_align -> init_prototypes -> train_ssl)
 set -e
 cd "$(dirname "$0")/../.."
-python tools/run_pipeline.py --config-path pRgb2vaihingen --method proca "$@"
+python tools/run_pipeline.py --config-path proca.pRgb2vaihingen --method proca "$@"

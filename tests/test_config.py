@@ -9,8 +9,20 @@ from uemda_tpu.config import PRESETS, load_config, snapshot_config
 
 
 def test_presets_cover_all_pairs():
-    assert set(PRESETS) == {"2vaihingen", "2potsdam", "2urban", "2rural",
-                            "pRgb2vaihingen", "pRgb2potsdam"}
+    base = {"2vaihingen", "2potsdam", "2urban", "2rural",
+            "pRgb2vaihingen", "pRgb2potsdam"}
+    # every base pair exists, plus a proca.-prefixed variant whose only
+    # difference is the snapshot-dir family (reference configs/st/proca/*)
+    assert set(PRESETS) == base | {f"proca.{n}" for n in base}
+    for n in base:
+        p, u = PRESETS[f"proca.{n}"], PRESETS[n]
+        assert p.snapshot_dir == f"./log/proca/{n}"
+        assert u.snapshot_dir != p.snapshot_dir
+        import dataclasses
+
+        assert dataclasses.replace(
+            p, snapshot_dir=u.snapshot_dir
+        ) == u
     v = PRESETS["2vaihingen"]
     assert v.class_num == 6 and v.ignore_label == -1
     assert v.stage1_steps == 4000 and v.stage2_steps == 6000
@@ -33,6 +45,12 @@ def test_presets_cover_all_pairs():
 def test_dotted_reference_form_resolves():
     cfg = load_config("st.uemda.2vaihingen")
     assert cfg.name == "2vaihingen"
+    assert "/proca/" not in cfg.snapshot_dir
+    # the method component routes the snapshot-dir family
+    proca = load_config("st.proca.pRgb2vaihingen")
+    assert proca.snapshot_dir == "./log/proca/pRgb2vaihingen"
+    assert load_config("st.uemda.pRgb2vaihingen").snapshot_dir == \
+        "./log/uemda/pRgb2vaihingen"
 
 
 def test_unknown_config_raises_with_choices():

@@ -77,16 +77,12 @@ def main():
 
         calib = None
         if args.int8 and args.calib_batches > 0:
-            from uemda_tpu.datasets.augment import normalize
-            from uemda_tpu.infer.evaluate import device_batches
+            from uemda_tpu.infer.evaluate import collect_calib_batches
 
-            calib = []
-            for _, images, _, _ in device_batches(
-                dataset, args.batch_size or split.batch_size
-            ):
-                calib.append(normalize(images, split.mean, split.std))
-                if len(calib) >= args.calib_batches:
-                    break
+            calib = collect_calib_batches(
+                dataset, args.batch_size or split.batch_size,
+                split.mean, split.std, args.calib_batches, tile=cfg.crop,
+            )
         model, variables = build_fastpath(
             model, variables, int8=bool(args.int8), calibration_batches=calib
         )

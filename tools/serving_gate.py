@@ -63,15 +63,11 @@ def main():
     batch = args.batch_size or split.batch_size
 
     def calib_batches(n):
-        from uemda_tpu.datasets.augment import normalize
-        from uemda_tpu.infer.evaluate import device_batches
+        from uemda_tpu.infer.evaluate import collect_calib_batches
 
-        out = []
-        for _, images, _, _ in device_batches(dataset, batch):
-            out.append(normalize(images, split.mean, split.std))
-            if len(out) >= n:
-                break
-        return out
+        return collect_calib_batches(
+            dataset, batch, split.mean, split.std, n, tile=cfg.crop
+        )
 
     def build(mode):
         if mode == "standard":

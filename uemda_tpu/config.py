@@ -145,17 +145,17 @@ PRESETS = {
     "2rural": _loveda_pair("2rural", "Rural", "Urban", "Rural"),
 }
 
-# ProCA-baseline RGB-Potsdam pairs (configs/st/proca/pRgb2vaihingen.py /
-# pRgb2potsdam.py): source = RGB-channel Potsdam tiles, ResNet-101 backbone;
-# pRgb2vaihingen normalizes both domains with Vaihingen stats (:27-28), while
-# pRgb2potsdam uses ImageNet stats everywhere (via ToPotsdam).
+# RGB-Potsdam pairs (configs/st/{uemda,proca}/pRgb2*.py): source =
+# RGB-channel Potsdam tiles, ResNet-101 backbone; pRgb2vaihingen normalizes
+# both domains with Vaihingen stats (:27-28), while pRgb2potsdam uses
+# ImageNet stats everywhere (via ToPotsdam).
 PRESETS["pRgb2vaihingen"] = dataclasses.replace(
     _isprs_pair(
         "pRgb2vaihingen", "Vaihingen", "Vaihingen", "Vaihingen",
         "Potsdam_rgb", "Vaihingen",
     ),
     model="resnet101",
-    snapshot_dir="./log/proca/pRgb2vaihingen",
+    snapshot_dir="./log/uemda/pRgb2vaihingen",
 )
 PRESETS["pRgb2potsdam"] = dataclasses.replace(
     _isprs_pair(
@@ -163,15 +163,28 @@ PRESETS["pRgb2potsdam"] = dataclasses.replace(
         "Potsdam_rgb", "Potsdam",
     ),
     model="resnet101",
-    snapshot_dir="./log/proca/pRgb2potsdam",
+    snapshot_dir="./log/uemda/pRgb2potsdam",
 )
+
+# ProCA-method variants: the reference's configs/st/proca/*.py differ from
+# the uemda configs ONLY in SNAPSHOT_DIR (log/proca/...) — keep the two
+# method chains' checkpoints apart ('st.proca.X' resolves to 'proca.X').
+for _name in [n for n in PRESETS if not n.startswith("proca.")]:
+    PRESETS[f"proca.{_name}"] = dataclasses.replace(
+        PRESETS[_name], snapshot_dir=f"./log/proca/{_name}"
+    )
 
 
 def load_config(name_or_path: str, snapshot_postfix: str = "") -> PairConfig:
     """Resolve a preset name ('2vaihingen', also accepts the reference's
-    dotted 'st.uemda.2vaihingen' form) or a Python file with CONFIG."""
-    key = name_or_path.split(".")[-1] if "." in name_or_path else name_or_path
-    if key in PRESETS:
+    dotted 'st.uemda.2vaihingen' / 'st.proca.pRgb2vaihingen' forms — the
+    method component selects the snapshot-dir family) or a Python file with
+    CONFIG."""
+    parts = name_or_path.split(".")
+    key = next(
+        (k for k in (".".join(parts[-2:]), parts[-1]) if k in PRESETS), None
+    )
+    if key is not None:
         cfg = PRESETS[key]
     elif os.path.exists(name_or_path):
         import importlib.util

@@ -57,6 +57,33 @@ def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
     return prefetch(gen(), depth=depth)
 
 
+def collect_calib_batches(dataset, batch_size, mean, std, n,
+                          tile: Optional[Tuple[int, int]] = None):
+    """First ``n`` normalized batches for int8 activation-scale calibration
+    (``infer.fastpath.calibrate_act_scales``), cropped to ``tile``.
+
+    Serving always runs tile-sized forwards through the slide predictor, so
+    calibration must see the same shapes — a monolithic whole-image forward
+    would blow HBM on big rasters and reject odd sizes. Iterates the plain
+    sequential reader (not ``device_batches``: breaking out of its prefetch
+    generator would strand the worker thread holding device batches)."""
+    if n <= 0:
+        return []
+    import jax
+
+    out = []
+    for _, batch in sequential_batches(dataset, batch_size):
+        images = np.asarray(batch["image"], np.float32)
+        if tile is not None:
+            th = min(tile[0], images.shape[1]) // 2 * 2
+            tw = min(tile[1], images.shape[2]) // 2 * 2
+            images = images[:, :th, :tw]
+        out.append(normalize(jax.device_put(images), mean, std))
+        if len(out) >= n:
+            break
+    return out
+
+
 def evaluate_dataset(
     model,
     variables,

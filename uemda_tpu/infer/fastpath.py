@@ -527,6 +527,20 @@ def calibrate_act_scales(
     parity test — a mismatch would corrupt the scales and the outputs)."""
     import functools
 
+    # strip any existing static scales so RE-calibration (e.g. for a new
+    # target domain) records fresh dynamic amaxes instead of no-oping
+    params = _map_int8_entries(
+        params, lambda e: {k: v for k, v in e.items() if k != "a"}
+    )
+    n_entries = 0
+
+    def _count(e):
+        nonlocal n_entries
+        n_entries += 1
+        return e
+
+    _map_int8_entries(params, _count)
+
     fn = jax.jit(functools.partial(_amax_trace, meta))
     agg = None
     for x in batches:
@@ -534,19 +548,18 @@ def calibrate_act_scales(
         agg = cur if agg is None else np.maximum(agg, cur)
     if agg is None or agg.size == 0:
         return params
+    if agg.size != n_entries:
+        raise AssertionError(
+            f"calibration visited {agg.size} int8 convs but the params hold "
+            f"{n_entries} int8 entries — forward/walk order contract broken"
+        )
 
     it = iter(agg.tolist())
 
     def embed(entry):
         return {**entry, "a": jnp.float32(max(next(it), 1e-8) / 127.0)}
 
-    out = _map_int8_entries(params, embed)
-    try:
-        next(it)
-        raise AssertionError("more amax values than int8 entries")
-    except StopIteration:
-        pass
-    return out
+    return _map_int8_entries(params, embed)
 
 
 class FastpathModel:

@@ -63,11 +63,20 @@ def _seg_sum_kernel(ids_ref, val_ref, out_ref, *, seg_pad: int, c_pad: int):
     )
 
 
+def _fit_tile(tile: int, seg_pad: int, budget: int = 4 * 1024 * 1024) -> int:
+    """Shrink the pixel tile so the (tile, seg_pad) f32 one-hot/mask block
+    stays within a VMEM budget — at large segment counts (the regime these
+    kernels target) a fixed tile would not lower."""
+    cap = max(128, budget // (seg_pad * 4) // 128 * 128)
+    return min(tile, cap)
+
+
 def _run_segment_kernel(kernel, data, segment_ids, num_segments, tile):
     # interpret mode on CPU so tests/virtual meshes exercise the same code
     interpret = jax.devices()[0].platform == "cpu"
     b, n, c = data.shape
     seg_pad = _round_up(num_segments, 128)
+    tile = _fit_tile(tile, seg_pad)
     c_pad = _round_up(c, 8)
     n_pad = _round_up(n, tile)
     data = jnp.pad(
@@ -145,6 +154,7 @@ def segment_gather_pallas(
     b, s, c = seg_vals.shape
     n = segment_ids.shape[1]
     seg_pad = _round_up(s, 128)
+    tile = _fit_tile(tile, seg_pad)
     c_pad = _round_up(c, 128)  # MXU lane width; padding is free zeros
     n_pad = _round_up(n, tile)
     seg_vals = jnp.pad(
