@@ -10,8 +10,9 @@ mkdir -p $OUT
 echo "== headline bench =="
 python bench.py | tee $OUT/bench.json
 
-echo "== eval bf16 / int8 / f32 =="
-python tools/bench_suite.py --modes eval_bf16,eval_int8,eval_f32 \
+echo "== eval bf16 / int8 / f32 / fastpath =="
+python tools/bench_suite.py \
+  --modes eval_bf16,eval_int8,eval_f32,eval_fastpath,eval_fastpath_int8 \
   | tee $OUT/eval_modes.json
 
 echo "== train step latencies =="
@@ -39,10 +40,26 @@ out = crop_normalize_pallas(img, off, (512, 512), (97.0,) * 3, (36.0,) * 3)
 print("crop_normalize_pallas ok:", out.shape, float(out.mean()))
 EOF
 
-echo "== profiler trace of a stage-1 run (synthetic) =="
-python tools/run_pipeline.py --config-path /tmp/uemda_e2e/config_synth.py \
-  --steps 1 --stage-steps 30 2>/dev/null || true
-python tools/train_src.py --config-path /tmp/uemda_e2e/config_synth.py \
+echo "== profiler trace of a stage-1 run (synthetic, SCRATCH snapshot dir"
+echo "   so the e2e config's trained checkpoints are not clobbered) =="
+python - <<'EOF' || true
+import dataclasses, importlib.util, sys
+
+spec = importlib.util.spec_from_file_location(
+    "cfg", "/tmp/uemda_e2e/config_synth.py")
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+cfg = dataclasses.replace(mod.CONFIG, snapshot_dir="/tmp/uemda_measure_log")
+with open("/tmp/uemda_measure_cfg.py", "w") as f:
+    f.write("import dataclasses, importlib.util\n"
+            "spec = importlib.util.spec_from_file_location("
+            "'cfg', '/tmp/uemda_e2e/config_synth.py')\n"
+            "mod = importlib.util.module_from_spec(spec); "
+            "spec.loader.exec_module(mod)\n"
+            "CONFIG = dataclasses.replace(mod.CONFIG, "
+            "snapshot_dir='/tmp/uemda_measure_log')\n")
+print("scratch config written")
+EOF
+python tools/train_src.py --config-path /tmp/uemda_measure_cfg.py \
   --steps 30 --align-domain 1 --profile-dir $OUT/xprof || true
 
 echo "== eval-forward trace (the 45% MXU-idle suspect) =="
