@@ -32,6 +32,7 @@ def run(cmd, dry):
         subprocess.run(cmd, check=True)
 
 
+from uemda_tpu.utils.log import str2bool
 from uemda_tpu.utils.runtime import enable_compile_cache
 
 enable_compile_cache()
@@ -50,6 +51,9 @@ def main():
                         help="uemda = reference runs/uemda chain (align_uem + "
                         "ssl_uem/uvem + refine); proca = runs/proca baseline "
                         "chain (no domain align, train_align + plain ssl/CE)")
+    parser.add_argument("--gen-fastpath", type=str2bool, default=0,
+                        help="stage 5: run the pseudo-label sweep on the "
+                        "folded serving fast path")
     parser.add_argument("--resume", type=str, default="",
                         help="forwarded to the training stages ('auto' "
                              "continues each stage from its state_curr)")
@@ -110,6 +114,8 @@ def main():
             ["--gen", "1", "--refine-label", "0", "--lt", "ce"] if proca
             else ["--gen", "1", "--refine-label", "1", "--lt", "uvem"]
         )
+        if args.gen_fastpath:
+            ssl_flags += ["--gen-fastpath", "1"]
         run(py + [f"{TOOLS}/train_ssl_uem.py", "--config-path", args.config_path]
             + ssl_flags
             + ["--ckpt-model", f"{log}/align/{tset}_best.msgpack",
