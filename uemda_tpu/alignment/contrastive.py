@@ -28,6 +28,41 @@ def triplet_loss(inputs: jnp.ndarray, targets: jnp.ndarray, margin: float = 0.3)
     return jnp.maximum(margin - (d_an - d_ap), 0.0).mean()
 
 
+def contrastive_anchors(
+    feats: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 0.1,
+    base_temperature: float = 0.07,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Exact rebuild of ``PixelContrastLoss._contrastive``
+    (``uemda/gast/contrastive.py:107-143``) on sampled anchors.
+
+    feats: (A, V, K) — A anchors, V views each; labels: (A,).
+    Note the reference's denominator is ``exp(logit) + sum(neg exp)`` (not
+    the full SupCon denominator), the self-pair is removed from the positive
+    mask only, and the mean runs over ALL rows."""
+    a, v, k = feats.shape
+    # torch.cat(torch.unbind(feats_, dim=1)) -> view-major (V*A, K)
+    f = jnp.transpose(feats, (1, 0, 2)).reshape(v * a, k).astype(jnp.float32)
+    lab = labels.reshape(-1)
+    same = (lab[:, None] == lab[None, :]).astype(jnp.float32)  # (A, A)
+    mask = jnp.tile(same, (v, v))  # mask.repeat(anchor_count, contrast_count)
+    neg_mask = 1.0 - mask
+    logits = jnp.matmul(
+        f, f.T, precision=jax.lax.Precision.HIGHEST
+    ) / temperature
+    logits = logits - jax.lax.stop_gradient(logits.max(axis=1, keepdims=True))
+    self_mask = 1.0 - jnp.eye(v * a)
+    pos_mask = mask * self_mask
+    neg_logits = (jnp.exp(logits) * neg_mask).sum(axis=1, keepdims=True)
+    log_prob = logits - jnp.log(jnp.exp(logits) + neg_logits + eps)
+    mean_log_prob_pos = (pos_mask * log_prob).sum(axis=1) / (
+        pos_mask.sum(axis=1) + eps
+    )
+    return -(temperature / base_temperature) * mean_log_prob_pos.mean()
+
+
 def pixel_contrast_loss(
     feats: jnp.ndarray,
     labels: jnp.ndarray,
@@ -70,20 +105,27 @@ def pixel_contrast_loss(
     anchors = anchors / jnp.maximum(
         jnp.linalg.norm(anchors, axis=-1, keepdims=True), 1e-12
     )
-    logits = anchors @ anchors.T / temperature
-    pos_mask = (anchor_cls[:, None] == anchor_cls[None, :]) & (
-        anchor_valid[:, None] & anchor_valid[None, :]
+    # reference _contrastive math (contrastive.py:107-143): denominator is
+    # exp(self) + sum(neg exp); self-pair removed from positives only;
+    # invalid slots (our fixed-shape padding, absent in the reference) are
+    # masked from both sides and from the row mean
+    eps = 1e-5
+    both_valid = anchor_valid[:, None] & anchor_valid[None, :]
+    pos_mask = (
+        (anchor_cls[:, None] == anchor_cls[None, :]) & both_valid
     )
     self_mask = jnp.eye(pos_mask.shape[0], dtype=bool)
+    neg_mask = (~pos_mask) & both_valid
     pos_mask = pos_mask & ~self_mask
-    neg_or_pos = (anchor_valid[:, None] & anchor_valid[None, :]) & ~self_mask
 
-    logits_max = jnp.where(neg_or_pos, logits, -jnp.inf).max(axis=1, keepdims=True)
-    logits_max = jnp.where(jnp.isfinite(logits_max), logits_max, 0.0)
-    exp_logits = jnp.where(neg_or_pos, jnp.exp(logits - logits_max), 0.0)
-    log_prob = (logits - logits_max) - jnp.log(exp_logits.sum(1, keepdims=True) + 1e-12)
-    pos_cnt = pos_mask.sum(axis=1)
-    mean_log_prob_pos = (log_prob * pos_mask).sum(axis=1) / jnp.maximum(pos_cnt, 1)
+    logits = anchors @ anchors.T / temperature
+    row_max = jnp.where(both_valid, logits, -jnp.inf).max(axis=1, keepdims=True)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    logits = logits - jax.lax.stop_gradient(row_max)
+    neg_logits = jnp.where(neg_mask, jnp.exp(logits), 0.0).sum(1, keepdims=True)
+    log_prob = logits - jnp.log(jnp.exp(logits) + neg_logits + eps)
+    mean_log_prob_pos = (log_prob * pos_mask).sum(axis=1) / (
+        pos_mask.sum(axis=1) + eps
+    )
     loss = -(temperature / base_temperature) * mean_log_prob_pos
-    w = anchor_valid & (pos_cnt > 0)
-    return (loss * w).sum() / jnp.maximum(w.sum(), 1)
+    return (loss * anchor_valid).sum() / jnp.maximum(anchor_valid.sum(), 1)

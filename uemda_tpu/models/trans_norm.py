@@ -68,8 +68,11 @@ class TransNorm2d(nn.Module):
             rm_t.value = (1 - m) * rm_t.value + m * mt
             rv_t.value = (1 - m) * rv_t.value + m * vut
 
+        # the reference's alpha distance uses UNBIASED batch variance
+        # (trans_norm.py:193-201: torch.var default), while normalization
+        # itself uses the biased variance inside F.batch_norm
         dis = jnp.abs(
-            ms * jax.lax.rsqrt(vbs + self.eps) - mt * jax.lax.rsqrt(vbt + self.eps)
+            ms * jax.lax.rsqrt(vus + self.eps) - mt * jax.lax.rsqrt(vut + self.eps)
         )
         prob = 1.0 / (1.0 + dis)
         alpha = jax.lax.stop_gradient(c * prob / prob.sum())

@@ -31,6 +31,23 @@ def classmix(
     n_sel = int(class_num * ratio)
     perm = jax.random.permutation(rng, class_num)
     selected = jnp.zeros((class_num,), jnp.float32).at[perm[:n_sel]].set(1.0)
+    return classmix_paste(
+        selected, data_s, targets_s, data_t, targets_t, class_num, ignore_label
+    )
+
+
+def classmix_paste(
+    selected: jnp.ndarray,
+    data_s: jnp.ndarray,
+    targets_s: jnp.ndarray,
+    data_t: jnp.ndarray,
+    targets_t: jnp.ndarray,
+    class_num: int,
+    ignore_label: int = -1,
+):
+    """Deterministic classmix core given the (C,) 0/1 selected-class mask
+    (classmix.py:42-51) — split out so the paste semantics can be golden-
+    tested against the reference with the randomness pinned."""
     oh = one_hot_ignore(targets_s, class_num, ignore_label)  # (B,H,W,C)
     cond = (oh * selected[None, None, None, :]).sum(-1) > 0  # (B,H,W)
     new_targets_t = jnp.where(cond, targets_s, targets_t)
@@ -38,13 +55,12 @@ def classmix(
     return data_s, targets_s, new_data_t, new_targets_t
 
 
-def _cut_box(rng: jax.Array, hw: Tuple[int, int], alpha: float):
-    """Beta(alpha, alpha) box (cutmix.py:17-28) as a fixed-shape mask."""
+def box_mask(hw: Tuple[int, int], lam, cx, cy) -> jnp.ndarray:
+    """Deterministic cutmix box mask given (lam, cx, cy) — the reference's
+    box arithmetic (cutmix.py:17-28: round-half-even ints, clipped to the
+    image), exposed for golden tests against the reference with the
+    randomness pinned."""
     h, w = hw
-    k1, k2, k3 = jax.random.split(rng, 3)
-    lam = jax.random.beta(k1, alpha, alpha)
-    cx = jax.random.uniform(k2, (), minval=0.0, maxval=w)
-    cy = jax.random.uniform(k3, (), minval=0.0, maxval=h)
     bw = w * jnp.sqrt(1.0 - lam)
     bh = h * jnp.sqrt(1.0 - lam)
     x0 = jnp.round(jnp.clip(cx - bw / 2, 0, w))
@@ -54,6 +70,16 @@ def _cut_box(rng: jax.Array, hw: Tuple[int, int], alpha: float):
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     return ((ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1))  # (H, W)
+
+
+def _cut_box(rng: jax.Array, hw: Tuple[int, int], alpha: float):
+    """Beta(alpha, alpha) box (cutmix.py:17-28) as a fixed-shape mask."""
+    h, w = hw
+    k1, k2, k3 = jax.random.split(rng, 3)
+    lam = jax.random.beta(k1, alpha, alpha)
+    cx = jax.random.uniform(k2, (), minval=0.0, maxval=w)
+    cy = jax.random.uniform(k3, (), minval=0.0, maxval=h)
+    return box_mask(hw, lam, cx, cy)
 
 
 def cutmix(
