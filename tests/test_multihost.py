@@ -1,0 +1,118 @@
+"""Multi-host readiness tests (VERDICT round-1 item 4).
+
+* 2-process CPU run: launches tests/multihost_worker.py twice with
+  ``jax.distributed`` over a localhost coordinator; asserts both processes
+  converge to the SAME loss/params and that the value equals a
+  single-process numpy replay of the same global batch (so the per-process
+  data sharding + cross-host gradient reduction is exact).
+* local_batch_slice partition law + infinite_batches process_shard
+  equivalence (the sharded streams concatenate to the global stream).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    """Replay the worker's math in numpy f32."""
+    GB, D, C = 8, 16, 4
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(GB, D)).astype(np.float32)
+    Y = rng.normal(size=(GB, C)).astype(np.float32)
+    w = np.zeros((D, C), np.float32)
+    loss = None
+    for _ in range(3):
+        r = X @ w - Y
+        loss = np.mean(r**2)
+        g = 2.0 * X.T @ r / r.size
+        w = w - 0.1 * g
+    return float(loss), float(np.abs(w).sum())
+
+
+def test_two_process_cpu_training_matches_single_process():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # fresh XLA_FLAGS: the worker appends its own device-count flag
+    env["XLA_FLAGS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        m = re.search(r"RESULT pid=(\d) loss=([\d.]+) wsum=([\d.]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(results) == {0, 1}
+    # both processes hold identical replicated results
+    np.testing.assert_allclose(results[0], results[1], rtol=0, atol=0)
+    # and they match the single-process replay of the same global batches
+    ref = _single_process_reference()
+    np.testing.assert_allclose(results[0], ref, rtol=1e-5, atol=1e-7)
+
+
+def test_local_batch_slice_partitions_the_global_batch(monkeypatch):
+    import jax
+
+    from uemda_tpu.parallel import multihost
+
+    rows = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        start, size = multihost.local_batch_slice(8)
+        rows.extend(range(start, start + size))
+    assert rows == list(range(8))
+    with pytest.raises(AssertionError):
+        multihost.local_batch_slice(9)
+
+
+def test_infinite_batches_process_shard_concatenates_to_global(tmp_path):
+    from uemda_tpu.datasets.base import SegDataset, infinite_batches
+    from uemda_tpu.datasets.meta import IsprsDA
+    from uemda_tpu.datasets.synthetic import make_synthetic_dataset
+
+    img_dir, ann_dir = make_synthetic_dataset(
+        str(tmp_path), IsprsDA, n_train=6, n_val=2, hw=32, seed=0
+    )
+    ds = SegDataset(IsprsDA, [img_dir], ann_dir)
+    full = infinite_batches(ds, 4, seed=5)
+    half0 = infinite_batches(ds, 4, seed=5, process_shard=(0, 2))
+    half1 = infinite_batches(ds, 4, seed=5, process_shard=(2, 2))
+    for _ in range(4):
+        g = next(full)
+        a, b = next(half0), next(half1)
+        np.testing.assert_array_equal(
+            g["image"], np.concatenate([a["image"], b["image"]])
+        )
+        np.testing.assert_array_equal(
+            g["label"], np.concatenate([a["label"], b["label"]])
+        )

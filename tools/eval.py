@@ -73,7 +73,9 @@ def main():
 
         mesh = make_mesh(args.num_devices)
     if args.fastpath:
-        from uemda_tpu.infer.fastpath import build_fastpath
+        from uemda_tpu.infer.fastpath import build_fastpath, check_fastpath_tile
+
+        check_fastpath_tile(cfg.crop)
 
         calib = None
         if args.int8 and args.calib_batches > 0:

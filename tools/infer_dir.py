@@ -69,7 +69,9 @@ def main():
     dataset = SegDataset(cfg.meta, args.img_dir, None, label_type="none")
     split = cfg.val
     if args.fastpath:
-        from uemda_tpu.infer.fastpath import build_fastpath
+        from uemda_tpu.infer.fastpath import build_fastpath, check_fastpath_tile
+
+        check_fastpath_tile(cfg.crop)
 
         calib = None
         if args.int8 and args.calib_batches > 0:

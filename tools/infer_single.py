@@ -66,7 +66,9 @@ def main():
     split = cfg.val
     x = normalize(jnp.asarray(img), split.mean, split.std)
     if args.fastpath:
-        from uemda_tpu.infer.fastpath import build_fastpath
+        from uemda_tpu.infer.fastpath import build_fastpath, check_fastpath_tile
+
+        check_fastpath_tile(cfg.crop)
 
         model, variables = build_fastpath(model, variables, int8=bool(args.int8))
     elif args.int8:

@@ -57,6 +57,14 @@ def main():
     parser.add_argument("--resume", type=str, default="",
                         help="forwarded to the training stages ('auto' "
                              "continues each stage from its state_curr)")
+    parser.add_argument("--gate", type=str2bool, default=0,
+                        help="after the final stage, run the serving-mode "
+                             "quality gate (tools/serving_gate.py) on every "
+                             "stage-best checkpoint; nonzero exit if any "
+                             "serving mode drifts past tolerance — a deploy "
+                             "can't silently ship a degraded quantized path")
+    parser.add_argument("--gate-tolerance", type=float, default=0.005)
+    parser.add_argument("--gate-class-tolerance", type=float, default=0.02)
     parser.add_argument("--dry-run", action="store_true")
     args = parser.parse_args()
 
@@ -121,6 +129,26 @@ def main():
             + ["--ckpt-model", f"{log}/align/{tset}_best.msgpack",
                "--ckpt-proto", f"{log}/align/prototypes_init.msgpack"]
             + ov + nd, args.dry_run)
+    if args.gate:
+        # gate across every stage-best checkpoint that exists — the int8
+        # error is distribution-dependent, one checkpoint is not evidence
+        candidates = (
+            f"{log}/src/{tset}_best.msgpack",
+            f"{log}/align/{tset}_best.msgpack",
+            f"{log}/ssl/{tset}_best.msgpack",
+        )
+        ckpts = (
+            list(candidates) if args.dry_run
+            else [p for p in candidates if os.path.exists(p)]
+        )
+        if not ckpts:
+            raise SystemExit("--gate: no stage-best checkpoints found under "
+                             f"{log}")
+        run(py + [f"{TOOLS}/serving_gate.py", "--config-path",
+                  args.config_path, "--ckpt-path", ",".join(ckpts),
+                  "--tolerance", str(args.gate_tolerance),
+                  "--class-tolerance", str(args.gate_class_tolerance)],
+            args.dry_run)
 
 
 if __name__ == "__main__":

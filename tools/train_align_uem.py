@@ -19,6 +19,7 @@ import numpy as np
 
 from uemda_tpu.config import load_config, snapshot_config
 from uemda_tpu.parallel import make_mesh
+from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (
     LoopHooks,
@@ -68,7 +69,9 @@ def main():
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of steps 10-15")
+    add_multihost_flags(parser)
     args = parser.parse_args()
+    multihost = setup_multihost(args)
 
     cfg = load_config(args.config_path, snapshot_postfix="/align")
     run_dir = cfg.snapshot_dir
@@ -104,7 +107,10 @@ def main():
     )
     step_fn = make_align_step(model, hp)
 
-    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    if multihost:
+        mesh = make_mesh(None)  # every chip of every process (pod slice)
+    else:
+        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     src_iter, _ = make_source_iter(cfg, skip=start_step)
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)

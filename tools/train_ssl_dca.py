@@ -17,6 +17,7 @@ from uemda_tpu.config import load_config, snapshot_config
 from uemda_tpu.datasets.base import SegDataset, infinite_batches
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
 from uemda_tpu.parallel import make_mesh
+from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (
     LoopHooks,
@@ -58,7 +59,9 @@ def main():
                              "micro-batches (effective batch k x batch)")
     parser.add_argument("--resume", type=str, default="",
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
+    add_multihost_flags(parser)
     args = parser.parse_args()
+    multihost = setup_multihost(args)
 
     cfg = load_config(args.config_path, snapshot_postfix="/dca")
     run_dir = cfg.snapshot_dir
@@ -84,7 +87,10 @@ def main():
     )
     step_fn = make_dca_step(model, hp)
 
-    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    if multihost:
+        mesh = make_mesh(None)  # every chip of every process (pod slice)
+    else:
+        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     src_iter, _ = make_source_iter(cfg, skip=start_step)
     pseudo_dir = os.path.join(run_dir, "..", "pseudo_label")

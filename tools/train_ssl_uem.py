@@ -21,6 +21,7 @@ from uemda_tpu.config import load_config, snapshot_config
 from uemda_tpu.datasets.base import SegDataset, infinite_batches
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
 from uemda_tpu.parallel import make_mesh
+from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (
     LoopHooks,
@@ -76,7 +77,9 @@ def main():
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of steps 10-15")
+    add_multihost_flags(parser)
     args = parser.parse_args()
+    multihost = setup_multihost(args)
 
     cfg = load_config(args.config_path, snapshot_postfix="/ssl")
     run_dir = cfg.snapshot_dir
@@ -85,7 +88,10 @@ def main():
     logger = get_console_file_logger("train_ssl_uem", run_dir)
     logging_args(args, logger)
 
-    mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    if multihost:
+        mesh = make_mesh(None)  # every chip of every process (pod slice)
+    else:
+        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
 
     stop_steps = args.steps or cfg.stage3_steps
     model = build_model(cfg)

@@ -5,9 +5,10 @@ Functional rebuild of the reference ``Aligner`` (``uemda/gast/alignment.py:
 24-481``). The mutable singletons (prototypes, running sums/counts) become an
 explicit ``AlignerState`` pytree carried in the train state; every update
 returns a new state. Under data parallelism the local prototype statistics
-are psum-reduced across replicas before the EMA (see
-``uemda_tpu.parallel.collectives``), which the single-GPU reference could not
-express.
+are psum-reduced across replicas before the EMA (XLA inserts the collective
+from the sharded-batch GEMM in ``compute_local_prototypes`` under ``jit`` —
+see ``uemda_tpu/parallel/mesh.py``), which the single-GPU reference could
+not express.
 
 Views of ``label_refine`` (``alignment.py:194-293``):
   'p' prototype view  — inverse Pearson distance feature-vs-prototypes,

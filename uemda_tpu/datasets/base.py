@@ -91,13 +91,20 @@ def infinite_batches(
     seed: int = 0,
     drop_last: bool = True,
     skip_batches: int = 0,
+    process_shard=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled epoch-cycling batch iterator (DALoader semantics:
     RandomSampler + drop_last=True, ``daLoader.py:38-55``).
 
     ``skip_batches`` fast-forwards the shuffle stream without decoding —
     a resumed run (``--resume``) replays the exact batch sequence an
-    uninterrupted run would have seen from that step."""
+    uninterrupted run would have seen from that step.
+
+    ``process_shard=(start, size)``: multi-host data sharding — every
+    process draws the SAME global shuffle stream (same seed) but decodes
+    only rows [start, start+size) of each global batch, so the global batch
+    sequence is bit-identical to a single-process run
+    (parallel/multihost.local_batch_slice)."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
     skipped = 0
@@ -111,6 +118,9 @@ def infinite_batches(
             idx = perm[i : i + batch_size]
             if len(idx) < batch_size:
                 idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+            if process_shard is not None:
+                start, size = process_shard
+                idx = idx[start : start + size]
             yield dataset.batch(idx)
 
 

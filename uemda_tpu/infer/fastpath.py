@@ -131,8 +131,14 @@ def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 # trace-time collector for activation-scale calibration: a list appended in
-# forward-visit order (set only inside _amax_trace; single-threaded trace)
+# forward-visit order (set only inside _amax_trace; single-threaded trace).
+# _SIG_COLLECTOR mirrors it with STATIC per-site signatures (wq shape) so
+# calibration can verify the forward-visit order against the params-walk
+# order instead of trusting an equal count (an order swap between layers
+# would silently mis-assign scales and degrade mIoU).
 _AMAX_COLLECTOR: Optional[list] = None
+_SIG_COLLECTOR: Optional[list] = None
+_LAST_VISIT_SIGS: Optional[list] = None
 
 
 def _conv_int8(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
@@ -157,6 +163,7 @@ def _conv_int8(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
         if _AMAX_COLLECTOR is not None:
             _AMAX_COLLECTOR.append(amax)
+            _SIG_COLLECTOR.append(tuple(wq.shape))
         a_scale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
                   ).astype(jnp.int8)
@@ -499,15 +506,18 @@ def _map_int8_entries(tree, fn):
 def _amax_trace(meta, params, x):
     """(amax vector in forward-visit order) for one batch — jittable: the
     collector list is filled with tracers during the single trace."""
-    global _AMAX_COLLECTOR
+    global _AMAX_COLLECTOR, _SIG_COLLECTOR, _LAST_VISIT_SIGS
     _AMAX_COLLECTOR = []
+    _SIG_COLLECTOR = []
     try:
         serving_forward(meta, params, x)
+        _LAST_VISIT_SIGS = list(_SIG_COLLECTOR)
         if not _AMAX_COLLECTOR:
             return jnp.zeros((0,), jnp.float32)
         return jnp.stack(_AMAX_COLLECTOR)
     finally:
         _AMAX_COLLECTOR = None
+        _SIG_COLLECTOR = None
 
 
 def calibrate_act_scales(
@@ -528,18 +538,21 @@ def calibrate_act_scales(
     import functools
 
     # strip any existing static scales so RE-calibration (e.g. for a new
-    # target domain) records fresh dynamic amaxes instead of no-oping
+    # target domain) records fresh dynamic amaxes instead of no-oping;
+    # keep the originals so an empty ``batches`` cannot silently discard a
+    # previous calibration
+    original_params = params
     params = _map_int8_entries(
         params, lambda e: {k: v for k, v in e.items() if k != "a"}
     )
-    n_entries = 0
+    walk_sigs: list = []
 
-    def _count(e):
-        nonlocal n_entries
-        n_entries += 1
+    def _collect_sig(e):
+        walk_sigs.append(tuple(e["wq"].shape))
         return e
 
-    _map_int8_entries(params, _count)
+    _map_int8_entries(params, _collect_sig)
+    n_entries = len(walk_sigs)
 
     fn = jax.jit(functools.partial(_amax_trace, meta))
     agg = None
@@ -547,11 +560,20 @@ def calibrate_act_scales(
         cur = np.asarray(fn(params, jnp.asarray(x)))
         agg = cur if agg is None else np.maximum(agg, cur)
     if agg is None or agg.size == 0:
-        return params
+        # no calibration batch was consumed (exhausted iterator / empty
+        # dataset / no int8 sites): return the ORIGINAL params untouched
+        return original_params
     if agg.size != n_entries:
         raise AssertionError(
             f"calibration visited {agg.size} int8 convs but the params hold "
             f"{n_entries} int8 entries — forward/walk order contract broken"
+        )
+    # order parity: the forward-visit weight-shape sequence must equal the
+    # params-walk sequence, or scales would be assigned to the wrong layers
+    if _LAST_VISIT_SIGS is not None and list(_LAST_VISIT_SIGS) != walk_sigs:
+        raise AssertionError(
+            "int8 calibration order mismatch: forward-visit shapes "
+            f"{_LAST_VISIT_SIGS} != params-walk shapes {walk_sigs}"
         )
 
     it = iter(agg.tolist())
@@ -582,6 +604,19 @@ class FastpathModel:
         if train:
             raise ValueError("FastpathModel is eval-only (serving fast path)")
         return serving_forward(self.meta, params, x)
+
+
+def check_fastpath_tile(tile) -> None:
+    """CLI guard: the space-to-depth stem needs even tile sides; without
+    this, an odd ``cfg.crop`` only surfaces as serving_forward's ValueError
+    deep inside the jitted predictor, after calibration work already ran
+    (tools/eval.py, infer_dir.py, infer_single.py call this right after
+    parsing --fastpath)."""
+    if tile[0] % 2 or tile[1] % 2:
+        raise SystemExit(
+            f"--fastpath requires even tile sides (space-to-depth stem), "
+            f"got {tuple(tile)}; rerun without --fastpath"
+        )
 
 
 def build_fastpath(

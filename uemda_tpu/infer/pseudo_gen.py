@@ -69,9 +69,11 @@ def generate_pseudo_labels(
             model, variables = build_fastpath(
                 model, variables, dtype=jnp.dtype(compute_dtype)
             )
-        except (ValueError, KeyError) as e:
+        except Exception as e:  # noqa: BLE001 — any unusable checkpoint
+            # structure (TypeError/AttributeError/IndexError from a non-
+            # DeeplabV2 params tree) must fall back, not crash the sweep
             if logger is not None:
-                logger.info(f"fastpath unavailable ({e}); using standard apply")
+                logger.info(f"fastpath unavailable ({e!r}); using standard apply")
     if mesh is not None:
         from uemda_tpu.parallel import shard_pytree_replicated
 

@@ -33,8 +33,20 @@ def make_mesh(num_devices: Optional[int] = None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Put a host batch dict on device, sharded along the batch axis."""
+    """Put a host batch dict on device, sharded along the batch axis.
+
+    Multi-process (pod slice): the caller holds only its PROCESS-LOCAL rows
+    (the host pipeline is sharded per process — parallel/multihost.py), so
+    the global array is assembled with make_array_from_process_local_data;
+    single-process keeps the plain device_put."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
@@ -43,4 +55,14 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_pytree_replicated(mesh: Mesh, tree):
+    """Replicate train state over the mesh (every process passes an
+    identical host copy in the multi-process case)."""
+    if jax.process_count() > 1:
+        sharding = replicate(mesh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, replicate(mesh)), tree)

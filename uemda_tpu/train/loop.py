@@ -194,6 +194,11 @@ def run_training_loop(
     key sequence an uninterrupted run would have used."""
     key0 = jax.random.key(rng_seed)
     t0 = time.time()
+    # multi-host: logging / metric readback / eval / checkpointing run on
+    # process 0 only (the step itself is SPMD across all processes; eval and
+    # saves are process-local, so skipping them elsewhere cannot desync any
+    # collective)
+    main = jax.process_index() == 0
     miou_max, iter_max = 0.0, 0
     # a resumed run must not let a worse model overwrite the best checkpoint:
     # best-so-far is persisted as best.json next to the state snapshot
@@ -242,7 +247,7 @@ def run_training_loop(
         else:
             state, metrics = step_fn(state, batch_s, sub)
 
-        if i == 0 or (i + 1) % hooks.log_every == 0:
+        if main and (i == 0 or (i + 1) % hooks.log_every == 0):
             m = _deadline(
                 lambda: {k: float(v) for k, v in metrics.items()},
                 hooks.hang_timeout_s, f"metric readback @ iter {i + 1}",
@@ -251,7 +256,7 @@ def run_training_loop(
             logger.info(f"iter={i + 1}/{stop_steps}, {msg}")
             log_jsonl({"step": i + 1, **m})
 
-        if hooks.eval_fn is not None and (
+        if main and hooks.eval_fn is not None and (
             (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
         ):
             if hooks.state_path:
@@ -283,7 +288,7 @@ def run_training_loop(
                 f"(best {miou_max:.5f} @ iter {iter_max})"
             )
             log_jsonl({"step": i + 1, "miou": miou})
-    if hooks.state_path:
+    if main and hooks.state_path:
         def final_save():
             if saver is not None:
                 saver.wait()  # drain in-flight snapshots before the final one
@@ -333,12 +338,19 @@ def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
     )
 
     def eval_fn(state: TrainState) -> float:
+        variables = variables_of(state)
+        if jax.process_count() > 1:
+            # replicated global arrays -> host numpy so eval stays a
+            # process-0-local computation (no implicit cross-host resharding)
+            from uemda_tpu.parallel.multihost import fetch_local
+
+            variables = fetch_local(variables)
         save_checkpoint(
             os.path.join(run_dir, f"{cfg.target_set}_curr.msgpack"),
-            variables_of(state),
+            variables,
         )
         _, miou = evaluate_dataset(
-            model, variables_of(state), dataset, split.mean, split.std,
+            model, variables, dataset, split.mean, split.std,
             tile=cfg.crop, tta=tta, batch_size=split.batch_size, logger=logger,
             vis_dir=(
                 os.path.join(run_dir, f"vis-{cfg.target_set}_curr")
@@ -360,6 +372,16 @@ def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
     return eval_fn, on_best
 
 
+def _process_shard(batch_size: int):
+    """Multi-host: this process's (start, size) slice of every global batch
+    (parallel/multihost.py); None in single-process runs."""
+    if jax.process_count() == 1:
+        return None
+    from uemda_tpu.parallel.multihost import local_batch_slice
+
+    return local_batch_slice(batch_size)
+
+
 def make_source_iter(cfg: PairConfig, seed=0, skip=0):
     from uemda_tpu.datasets.prefetch import prefetch
 
@@ -367,7 +389,8 @@ def make_source_iter(cfg: PairConfig, seed=0, skip=0):
         cfg.meta, list(cfg.source.image_dir), list(cfg.source.mask_dir)[0]
     )
     return prefetch(
-        infinite_batches(ds, cfg.source.batch_size, seed=seed, skip_batches=skip)
+        infinite_batches(ds, cfg.source.batch_size, seed=seed, skip_batches=skip,
+                         process_shard=_process_shard(cfg.source.batch_size))
     ), ds
 
 
@@ -385,7 +408,8 @@ def make_target_iter(
         read_sup=read_sup,
     )
     return prefetch(
-        infinite_batches(ds, cfg.target.batch_size, seed=seed, skip_batches=skip)
+        infinite_batches(ds, cfg.target.batch_size, seed=seed, skip_batches=skip,
+                         process_shard=_process_shard(cfg.target.batch_size))
     ), ds
 
 
