@@ -190,6 +190,7 @@ def build_serving_params(
     s2b_layer4: bool = True,
     heads_int8: bool = False,
     int8_stages: Tuple[int, ...] = (),
+    fused_stages: Tuple[int, ...] = (),
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Fold a trained DeeplabV2 checkpoint into the serving layout.
 
@@ -220,6 +221,10 @@ def build_serving_params(
         "deep_stem": deep_stem,
         "head": "ppm" if cfg.use_ppm else "aspp",
         "aspp_dilations": tuple(cfg.aspp_dilations),
+        # stages whose identity bottleneck blocks run in the fused Pallas
+        # VMEM kernel (ops/pallas_resblock.py) — the HBM-bound early stages;
+        # exact math, opt-in (A/B-measure in-step before enabling)
+        "fused_stages": tuple(fused_stages),
     }
     out: Dict[str, Any] = {}
 
@@ -367,13 +372,44 @@ def _block_forward(x, blk, meta, stride, dilation):
     return jax.nn.relu(y + identity)
 
 
-def _stage_forward(x, blocks, meta, stride, dilate, s2b: bool):
+def _fusable(blk, meta, dilate) -> bool:
+    """Identity bottleneck the Pallas fused-block kernel can take: stride 1
+    (rest blocks always are), dilation 1, no grouped conv, no downsample
+    branch, bf16 entries (not int8), 3x3 middle conv."""
+    return (
+        meta["block"] == "bottleneck"
+        and dilate == 1
+        and meta["groups"] == 1
+        and "ds" not in blk
+        and all("w" in blk[c] for c in ("conv1", "conv2", "conv3"))
+        and blk["conv2"]["w"].shape[:2] == (3, 3)
+    )
+
+
+def _stage_forward(x, blocks, meta, stride, dilate, s2b: bool, li: int = -1):
     """One residual stage (first block dilation = dilate//2, later blocks
     = dilate, per ``stage_plan``); if ``s2b`` and dilate==2, run blocks 1+
-    in space-to-batch phase space (dilated 3x3 -> dense 3x3, exact)."""
+    in space-to-batch phase space (dilated 3x3 -> dense 3x3, exact);
+    ``li`` (1-based stage number) selects the fused-Pallas identity blocks
+    when listed in meta['fused_stages']."""
+    fused = (li in meta.get("fused_stages", ())) if li > 0 else False
     x = _block_forward(x, blocks[0], meta, stride, max(dilate // 2, 1))
     rest = blocks[1:]
     if not rest:
+        return x
+    if fused:
+        from uemda_tpu.ops.pallas_resblock import bottleneck_identity_pallas
+
+        for blk in rest:
+            if _fusable(blk, meta, dilate):
+                x = bottleneck_identity_pallas(
+                    x,
+                    blk["conv1"]["w"], blk["conv1"]["b"],
+                    blk["conv2"]["w"], blk["conv2"]["b"],
+                    blk["conv3"]["w"], blk["conv3"]["b"],
+                )
+            else:
+                x = _block_forward(x, blk, meta, 1, dilate)
         return x
     if s2b and dilate == 2:
         b, h, w, c = x.shape
@@ -435,7 +471,7 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
     for li in range(n_stages):
         stride, dilate = plan[li]
         y = _stage_forward(y, params[f"layer{li + 1}"], meta, stride, dilate,
-                           s2b=meta["s2b_layer4"])
+                           s2b=meta["s2b_layer4"], li=li + 1)
         outs.append(y)
 
     # cascade feeds pyramid[-2] to group 0 and pyramid[-1] to group 1
@@ -625,6 +661,7 @@ def build_fastpath(
     dtype: Any = jnp.bfloat16,
     int8: bool = False,
     calibration_batches=None,
+    fused_stages: Tuple[int, ...] = (),
 ) -> Tuple["FastpathModel", Dict[str, Any]]:
     """CLI-facing entry: fold ``variables`` and return ``(model-like,
     serving_params)`` ready for ``make_predictor`` / ``evaluate_dataset``.
@@ -638,6 +675,7 @@ def build_fastpath(
         model, variables, dtype=dtype,
         s2b_layer4=False,  # measured slower on v5e (docs/PERF_NOTES.md)
         heads_int8=int8, int8_stages=(3, 4) if int8 else (),
+        fused_stages=fused_stages,
     )
     if int8 and calibration_batches is not None:
         params = calibrate_act_scales(meta, params, calibration_batches)

@@ -1,0 +1,187 @@
+"""Fused identity-bottleneck residual block (Pallas, serving fast path).
+
+The round-1 XProf eval trace put the early ResNet stages at ~37% MXU — they
+are HBM-bandwidth-bound: XLA executes the bottleneck block
+(1x1 -> 3x3 -> 1x1 + skip, ``uemda/_resnets.py:72-112``) as three separate
+convs, each doing a full HBM round trip of the activation.  This kernel
+keeps the whole block in VMEM: the input row band (with a 1-row halo for
+the 3x3) is DMA'd from HBM ONCE, the three GEMMs + biases + ReLUs + the
+residual add all run on-chip, and only the output band is written back —
+~3x less activation traffic for the identity blocks of layer1/layer2.
+
+Math is EXACT vs the XLA path: bf16 operands, f32 accumulation
+(preferred_element_type), f32 biases, bf16 round only where the XLA convs
+round (after each conv's epilogue).  The 3x3 is nine shifted (R*W, Cmid) x
+(Cmid, Cmid) MXU GEMMs over the zero-padded band.
+
+Applies ONLY to identity bottleneck blocks: stride 1, dilation 1, groups 1,
+no downsample branch, Cin == Cout (true for every non-first block of every
+stage).  Opt-in from the serving fast path (build_fastpath(fused_blocks=..))
+— A/B-measure on chip before enabling by default (the in-step-measurement
+rule: trace-visible copies can be overlapped time).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_band_rows(h: int, w: int, cin: int, cmid: int,
+                    budget_bytes: int = 9 * 1024 * 1024) -> int:
+    """Largest row-band R dividing h whose working set fits the budget."""
+    def band_bytes(r):
+        xpad = (r + 2) * (w + 2) * cin * 2
+        y1 = (r + 2) * (w + 2) * cmid * 2
+        acc = r * w * cmid * 4
+        out = r * w * cin * 2
+        return xpad + y1 + acc + out
+
+    for r in (h, h // 2, h // 4, h // 8, h // 16):
+        if r and h % r == 0 and band_bytes(r) <= budget_bytes:
+            return r
+    return max(h // 16, 1)
+
+
+def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
+            *, rows, h, w, cin, cmid, n_bands):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+
+    # --- haloed band DMA (HBM -> VMEM), zero-padded at the image borders ---
+    # column borders are never written by the DMA: zero them every call
+    xpad[:, 0, :] = jnp.zeros((rows + 2, cin), xpad.dtype)
+    xpad[:, w + 1, :] = jnp.zeros((rows + 2, cin), xpad.dtype)
+
+    def copy(src_rows_start, n, dst_start):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(src_rows_start, n), :, :],
+            xpad.at[pl.ds(dst_start, n), pl.ds(1, w), :],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    if n_bands == 1:
+        xpad[0, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+        xpad[rows + 1, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+        copy(0, rows, 1)
+    else:
+        @pl.when(ri == 0)
+        def _():
+            xpad[0, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+            copy(0, rows + 1, 1)
+
+        @pl.when(ri == n_bands - 1)
+        def _():
+            xpad[rows + 1, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+            copy(h - rows - 1, rows + 1, 0)
+
+        @pl.when((ri > 0) & (ri < n_bands - 1))
+        def _():
+            copy(ri * rows - 1, rows + 2, 0)
+
+    xall = xpad[...]  # (R+2, W+2, Cin) bf16
+
+    # conv1 (1x1) + bias + relu on the haloed region so the 3x3 sees its halo
+    y1 = jax.lax.dot_general(
+        xall.reshape(-1, cin), w1[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1[...]
+    y1 = jnp.maximum(y1, 0.0).astype(xall.dtype)
+    y1 = y1.reshape(rows + 2, w + 2, cmid)
+    # the 3x3's zero padding applies AFTER conv1: at out-of-image positions
+    # conv1 of the zeroed x gives relu(b1), which must be forced back to 0
+    # (columns 0 / w+1 always; row 0 only on the first band, row rows+1 only
+    # on the last — interior halo rows hold real neighbor-band values)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w + 2, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w + 2, 1), 0)
+    ri_ = pl.program_id(1)
+    invalid = (
+        (col < 1) | (col > w)
+        | ((ri_ == 0) & (row == 0))
+        | ((ri_ == n_bands - 1) & (row == rows + 1))
+    )
+    y1 = jnp.where(invalid, jnp.zeros_like(y1), y1)
+
+    # conv2 (3x3, pad 1) as nine shifted GEMMs, f32 accumulation
+    acc = jnp.zeros((rows * w, cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = y1[dy:dy + rows, dx:dx + w, :].reshape(-1, cmid)
+            acc += jax.lax.dot_general(
+                patch, w2[3 * dy + dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jnp.maximum(acc + b2[...], 0.0).astype(xall.dtype)
+
+    # conv3 (1x1) + bias + residual + relu
+    y3 = jax.lax.dot_general(
+        y2, w3[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b3[...]
+    identity = xpad[1:rows + 1, 1:w + 1, :].reshape(-1, cin)
+    out = jnp.maximum(y3 + identity.astype(jnp.float32), 0.0)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, w, cin)
+
+
+def bottleneck_identity_pallas(
+    x: jnp.ndarray,
+    w1: jnp.ndarray, b1: jnp.ndarray,
+    w2: jnp.ndarray, b2: jnp.ndarray,
+    w3: jnp.ndarray, b3: jnp.ndarray,
+    band_rows: int = 0,
+) -> jnp.ndarray:
+    """x (B, H, W, C); w1 (1,1,C,Cm), w2 (3,3,Cm,Cm), w3 (1,1,Cm,C) HWIO
+    conv kernels (BN already folded; biases f32).  Returns
+    relu(conv3(relu(conv2(relu(conv1(x))))) + x) exactly like the XLA path
+    in ``infer/fastpath._block_forward``."""
+    b, h, w, cin = x.shape
+    cmid = w1.shape[-1]
+    assert w1.shape[:2] == (1, 1) and w3.shape[:2] == (1, 1)
+    assert w2.shape[:2] == (3, 3) and w3.shape[-1] == cin, (w2.shape, w3.shape)
+    rows = band_rows or _pick_band_rows(h, w, cin, cmid)
+    assert h % rows == 0, (h, rows)
+    n_bands = h // rows
+    interpret = jax.devices()[0].platform == "cpu"
+
+    w1m = w1.reshape(cin, cmid)
+    w2m = w2.reshape(9, cmid, cmid)
+    w3m = w3.reshape(cmid, cin)
+    b1r = b1.reshape(1, cmid).astype(jnp.float32)
+    b2r = b2.reshape(1, cmid).astype(jnp.float32)
+    b3r = b3.reshape(1, cin).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((cin, cmid), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((9, cmid, cmid), lambda bi, ri: (0, 0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((cmid, cin), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, cin), lambda bi, ri: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, w, cin), lambda bi, ri: (bi, ri, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, w + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, rows=rows, h=h, w=w, cin=cin, cmid=cmid, n_bands=n_bands
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cin), x.dtype),
+        interpret=interpret,
+    )(x, w1m, b1r, w2m, b2r, w3m, b3r)
