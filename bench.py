@@ -89,6 +89,17 @@ def main():
     except Exception as e:
         build_error = f"fastpath build failed: {type(e).__name__}: {e}"
     if modes and on_tpu:
+        # exact-math fused identity blocks (ops/pallas_resblock.py) for the
+        # HBM-bound early stages; failure must not discard the plain fold
+        try:
+            modes.append(
+                ("fastpath_bf16_fused",)
+                + build_fastpath(model, variables, dtype=dtype,
+                                 fused_stages=(1, 2))
+            )
+        except Exception as e:
+            build_error = f"fused fastpath build failed: {type(e).__name__}: {e}"
+    if modes and on_tpu:
         # int8 build failure must not discard the working bf16 fastpath
         try:
             from uemda_tpu.infer.fastpath import calibrate_act_scales
@@ -118,6 +129,9 @@ def main():
 
     reps = 3 if on_tpu else 1
     tiles_per_sec, best_mode, sweep_error = 0.0, None, None
+    # the exact-math modes tracked separately so the target never hinges on
+    # int8 alone (VERDICT r1): standard / fastpath_bf16 / fastpath_bf16_fused
+    exact_tiles, exact_mode = 0.0, None
     for mode_name, mode_model, mode_vars in modes:
 
         @jax.jit
@@ -141,9 +155,12 @@ def main():
                 for _ in range(reps):
                     float(many(mode_vars, x))  # single readback per chain
                 dt = (time.time() - t0) / reps
-                if k_chain * batch / dt > tiles_per_sec:
-                    tiles_per_sec = k_chain * batch / dt
+                rate = k_chain * batch / dt
+                if rate > tiles_per_sec:
+                    tiles_per_sec = rate
                     best_mode = mode_name
+                if "int8" not in mode_name and rate > exact_tiles:
+                    exact_tiles, exact_mode = rate, mode_name
             except Exception as e:  # OOM at larger batches ends the sweep
                 sweep_error = f"{mode_name} batch {batch}: {type(e).__name__}: {e}"
                 break
@@ -173,9 +190,11 @@ def main():
                     / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC),
                     4,
                 ),
-                "note": f"serving mode {best_mode} (exact-math fold; measured "
-                "mIoU delta vs standard: calibrated int8 0.0006, dynamic "
-                "int8 0.0021 — docs/PERF_NOTES.md)"
+                "note": f"serving mode {best_mode}; exact-math "
+                f"{exact_mode}={round(exact_tiles, 1)} tiles/s "
+                f"(vs_baseline {round(exact_tiles / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC), 4)}); "
+                "measured mIoU delta vs standard: calibrated int8 0.0006, "
+                "dynamic int8 0.0021 — docs/PERF_NOTES.md"
                 + (f"; {build_error}" if build_error else ""),
             }
         )

@@ -37,7 +37,7 @@ def _bench(fn, *args, reps=3):
 
 
 def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
-               tile=512, fastpath=False):
+               tile=512, fastpath=False, fused_stages=()):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +47,8 @@ def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
     if fastpath:
         from uemda_tpu.infer.fastpath import build_fastpath
 
-        m, v = build_fastpath(model, variables, dtype=dtype, int8=int8)
+        m, v = build_fastpath(model, variables, dtype=dtype, int8=int8,
+                              fused_stages=tuple(fused_stages))
     else:
         v = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
@@ -262,6 +263,13 @@ def main():
         emit("eval_fastpath_tiles_per_sec",
              bench_eval(model, variables, batch, k_chain, "bfloat16", False,
                         reps, tile, fastpath=True), "tiles/s")
+    if "eval_fastpath_fused" in modes:
+        # exact-math fused identity blocks (ops/pallas_resblock.py) on the
+        # HBM-bound early stages — the in-step A/B vs eval_fastpath
+        emit("eval_fastpath_fused_tiles_per_sec",
+             bench_eval(model, variables, batch, k_chain, "bfloat16", False,
+                        reps, tile, fastpath=True, fused_stages=(1, 2)),
+             "tiles/s")
     if "eval_fastpath_int8" in modes:
         emit("eval_fastpath_int8_tiles_per_sec",
              bench_eval(model, variables, batch, k_chain, "bfloat16", True,
