@@ -81,13 +81,13 @@ def main():
     # serving-mode mIoU gate: measured deltas vs standard — fastpath
     # +0.0005, dynamic int8 +0.0021, calibrated int8 0.0006 (PERF_NOTES.md).
     # Fall back to the plain apply if the fold ever rejects the config.
-    modes, build_error = [], None
+    modes, build_errors = [], []
     from uemda_tpu.infer.fastpath import build_fastpath
 
     try:
         modes.append(("fastpath_bf16",) + build_fastpath(model, variables, dtype=dtype))
     except Exception as e:
-        build_error = f"fastpath build failed: {type(e).__name__}: {e}"
+        build_errors.append(f"fastpath build failed: {type(e).__name__}: {e}")
     if modes and on_tpu:
         # exact-math fused identity blocks (ops/pallas_resblock.py) for the
         # HBM-bound early stages; failure must not discard the plain fold
@@ -98,7 +98,7 @@ def main():
                                  fused_stages=(1, 2))
             )
         except Exception as e:
-            build_error = f"fused fastpath build failed: {type(e).__name__}: {e}"
+            build_errors.append(f"fused fastpath build failed: {type(e).__name__}: {e}")
     if modes and on_tpu:
         # int8 build failure must not discard the working bf16 fastpath
         try:
@@ -113,7 +113,7 @@ def main():
             )
             modes.append(("fastpath_int8cal", m8, p8))
         except Exception as e:
-            build_error = f"int8 fastpath build failed: {type(e).__name__}: {e}"
+            build_errors.append(f"int8 fastpath build failed: {type(e).__name__}: {e}")
     if not modes:
         modes = [(
             "standard",
@@ -190,12 +190,15 @@ def main():
                     / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC),
                     4,
                 ),
-                "note": f"serving mode {best_mode}; exact-math "
-                f"{exact_mode}={round(exact_tiles, 1)} tiles/s "
-                f"(vs_baseline {round(exact_tiles / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC), 4)}); "
-                "measured mIoU delta vs standard: calibrated int8 0.0006, "
-                "dynamic int8 0.0021 — docs/PERF_NOTES.md"
-                + (f"; {build_error}" if build_error else ""),
+                "note": f"serving mode {best_mode}; "
+                + (
+                    f"exact-math {exact_mode}={round(exact_tiles, 1)} tiles/s "
+                    f"(vs_baseline {round(exact_tiles / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC), 4)}); "
+                    if exact_mode else "no exact-math mode measured; "
+                )
+                + "measured mIoU delta vs standard: calibrated int8 "
+                "0.0006, dynamic int8 0.0021 — docs/PERF_NOTES.md"
+                + ("; " + "; ".join(build_errors) if build_errors else ""),
             }
         )
     )

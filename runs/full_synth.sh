@@ -4,21 +4,42 @@
 #   * 3 GENE_EVERY pseudo-label regenerations inside stage 3,
 #   * a hard kill + `--resume auto` mid-stage-3 (exact-resume proof),
 #   * the hardened serving gate across all three stage-best checkpoints.
+# Stages retry with `--resume auto` when the axon tunnel/device runtime
+# dies mid-run (the loop watchdog exits fast with a resume hint).
 # Results land in /tmp/uemda_full/log; summarize into runs/tpu_results/.
 set -ux
 cd "$(dirname "$0")/.."
 P=runs/full_synth_config.py
 LOG=/tmp/uemda_full/log
 
-python tools/run_pipeline.py --config-path $P --steps 1,2,3,4
+retry() {  # retry "$@" with --resume auto until it exits 0 (max 6 tries)
+    local n=0
+    until "$@" --resume auto; do
+        n=$((n + 1))
+        [ $n -ge 6 ] && return 1
+        echo "RETRY($n) after failure: $*" >&2
+        sleep 60  # let the tunnel settle (killed TPU processes degrade it)
+    done
+}
+
+retry python tools/train_src.py --config-path $P --align-domain 1
+retry python tools/init_prototypes.py --config-path $P --stage 1 \
+    --ckpt-model $LOG/src/SynthTarget_best.msgpack
+retry python tools/train_align_uem.py --config-path $P --align-domain 1 \
+    --gen 1 --refine-label 1 \
+    --ckpt-model $LOG/src/SynthTarget_best.msgpack \
+    --ckpt-proto $LOG/src/prototypes_init.msgpack
+retry python tools/init_prototypes.py --config-path $P --stage 2 \
+    --ckpt-model $LOG/align/SynthTarget_best.msgpack \
+    --ckpt-proto $LOG/align/prototypes_init.msgpack
 
 SSL_FLAGS=(--config-path $P --gen 1 --refine-label 1 --lt uvem
            --ckpt-model $LOG/align/SynthTarget_best.msgpack
            --ckpt-proto $LOG/align/prototypes_init.msgpack)
 # run ~the first third of stage 3, then kill it mid-flight
-timeout 1200 python tools/train_ssl_uem.py "${SSL_FLAGS[@]}" || true
+timeout 1500 python tools/train_ssl_uem.py "${SSL_FLAGS[@]}" || true
 # exact full-state resume to completion
-python tools/train_ssl_uem.py "${SSL_FLAGS[@]}" --resume auto
+retry python tools/train_ssl_uem.py "${SSL_FLAGS[@]}"
 
 python tools/serving_gate.py --config-path $P \
   --ckpt-path $LOG/src/SynthTarget_best.msgpack,$LOG/align/SynthTarget_best.msgpack,$LOG/ssl/SynthTarget_best.msgpack

@@ -45,6 +45,10 @@ def _single_process_reference():
 
 
 def test_two_process_cpu_training_matches_single_process():
+    # NOTE: two workers necessarily compile concurrently (jax.distributed is
+    # synchronous across processes), briefly bending the 1-core-host rule in
+    # CLAUDE.md — the model is a single tiny dense layer precisely so both
+    # cold compiles stay within the 540 s communicate() budget.
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)

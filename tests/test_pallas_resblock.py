@@ -11,17 +11,19 @@ from uemda_tpu.ops.pallas_resblock import bottleneck_identity_pallas
 
 
 def _xla_block(x, w1, b1, w2, b2, w3, b3):
+    """The exact composition fastpath._conv/_block_forward executes: conv
+    output in the serving dtype (f32 accumulation internal to XLA), bias
+    cast to that dtype and added after."""
     def conv(h, w, b, pad):
         y = jax.lax.conv_general_dilated(
-            h, w, (1, 1), ((pad, pad), (pad, pad)),
+            h, w.astype(h.dtype), (1, 1), ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return y + b
-    y = jax.nn.relu(conv(x, w1, b1, 0)).astype(x.dtype)
-    y = jax.nn.relu(conv(y, w2, b2, 1)).astype(x.dtype)
+        return y + b.astype(h.dtype)
+    y = jax.nn.relu(conv(x, w1, b1, 0))
+    y = jax.nn.relu(conv(y, w2, b2, 1))
     y = conv(y, w3, b3, 0)
-    return jax.nn.relu(y + x.astype(jnp.float32)).astype(x.dtype)
+    return jax.nn.relu(y + x)
 
 
 def _make(seed, b=2, h=16, w=16, cin=32, cmid=8, dtype=jnp.float32):
@@ -51,6 +53,19 @@ def test_multi_band_halo_matches_xla():
         out = bottleneck_identity_pallas(*args, band_rows=rows)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_rounding_matches_xla_epilogue():
+    """In the serving dtype (bf16) the kernel must follow fastpath._conv's
+    rounding: conv output rounded to bf16 BEFORE the dtype-cast bias add and
+    residual add. Tolerance covers only the 3x3 f32 tap-order (~1 ulp)."""
+    args = _make(3, dtype=jnp.bfloat16)
+    ref = _xla_block(*args)
+    out = bottleneck_identity_pallas(*args, band_rows=8)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=1.6e-2, atol=1.6e-2,
+    )
 
 
 def test_serving_forward_fused_stages_parity():

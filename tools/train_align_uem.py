@@ -18,8 +18,11 @@ import os
 import numpy as np
 
 from uemda_tpu.config import load_config, snapshot_config
-from uemda_tpu.parallel import make_mesh
-from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
+from uemda_tpu.parallel.multihost import (
+    add_multihost_flags,
+    setup_multihost,
+    trainer_mesh,
+)
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (
     LoopHooks,
@@ -107,10 +110,7 @@ def main():
     )
     step_fn = make_align_step(model, hp)
 
-    if multihost:
-        mesh = make_mesh(None)  # every chip of every process (pod slice)
-    else:
-        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     src_iter, _ = make_source_iter(cfg, skip=start_step)
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)

@@ -19,8 +19,11 @@ import os
 import jax
 
 from uemda_tpu.config import load_config, snapshot_config
-from uemda_tpu.parallel import make_mesh
-from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
+from uemda_tpu.parallel.multihost import (
+    add_multihost_flags,
+    setup_multihost,
+    trainer_mesh,
+)
 from uemda_tpu.train.loop import (
     LoopHooks,
     build_model,
@@ -89,10 +92,7 @@ def main():
     )
     step_fn = make_src_step(model, hp)
 
-    if multihost:
-        mesh = make_mesh(None)  # every chip of every process (pod slice)
-    else:
-        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     src_iter, _ = make_source_iter(cfg, skip=start_step)
     tgt_iter, _ = make_target_iter(cfg, label_type="none", skip=start_step)

@@ -16,8 +16,11 @@ import os
 from uemda_tpu.config import load_config, snapshot_config
 from uemda_tpu.datasets.base import SegDataset, infinite_batches
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
-from uemda_tpu.parallel import make_mesh
-from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
+from uemda_tpu.parallel.multihost import (
+    add_multihost_flags,
+    setup_multihost,
+    trainer_mesh,
+)
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (
     LoopHooks,
@@ -30,6 +33,7 @@ from uemda_tpu.train.loop import (
     make_source_iter,
     run_training_loop,
     variables_of,
+    process_shard,
 )
 from uemda_tpu.train.steps import make_dca_step
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
@@ -87,10 +91,7 @@ def main():
     )
     step_fn = make_dca_step(model, hp)
 
-    if multihost:
-        mesh = make_mesh(None)  # every chip of every process (pod slice)
-    else:
-        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
     src_iter, _ = make_source_iter(cfg, skip=start_step)
     pseudo_dir = os.path.join(run_dir, "..", "pseudo_label")
@@ -110,7 +111,8 @@ def main():
             cfg.meta, list(cfg.target.image_dir), pseudo_dir, label_type="prob"
         )
         return infinite_batches(
-            ds, cfg.target.batch_size, seed=1, skip_batches=skip
+            ds, cfg.target.batch_size, seed=1, skip_batches=skip,
+            process_shard=process_shard(cfg.target.batch_size),
         )
 
     first_chunk = min(cfg.gene_every, stop_steps)

@@ -20,8 +20,11 @@ import numpy as np
 from uemda_tpu.config import load_config, snapshot_config
 from uemda_tpu.datasets.base import SegDataset, infinite_batches
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
-from uemda_tpu.parallel import make_mesh
-from uemda_tpu.parallel.multihost import add_multihost_flags, setup_multihost
+from uemda_tpu.parallel.multihost import (
+    add_multihost_flags,
+    setup_multihost,
+    trainer_mesh,
+)
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (
     LoopHooks,
@@ -34,6 +37,7 @@ from uemda_tpu.train.loop import (
     make_source_iter,
     run_training_loop,
     variables_of,
+    process_shard,
 )
 from uemda_tpu.train.steps import make_ssl_step
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
@@ -88,10 +92,7 @@ def main():
     logger = get_console_file_logger("train_ssl_uem", run_dir)
     logging_args(args, logger)
 
-    if multihost:
-        mesh = make_mesh(None)  # every chip of every process (pod slice)
-    else:
-        mesh = make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None
+    mesh = trainer_mesh(args, multihost)
 
     stop_steps = args.steps or cfg.stage3_steps
     model = build_model(cfg)
@@ -152,7 +153,8 @@ def main():
         label_type="prob", read_sup=need_sup,
     )
     tgt_iter = infinite_batches(
-        tgt_ds, cfg.target.batch_size, seed=1, skip_batches=start_step
+        tgt_ds, cfg.target.batch_size, seed=1, skip_batches=start_step,
+        process_shard=process_shard(cfg.target.batch_size),
     )
 
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)

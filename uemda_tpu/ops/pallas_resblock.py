@@ -9,10 +9,13 @@ the 3x3) is DMA'd from HBM ONCE, the three GEMMs + biases + ReLUs + the
 residual add all run on-chip, and only the output band is written back —
 ~3x less activation traffic for the identity blocks of layer1/layer2.
 
-Math is EXACT vs the XLA path: bf16 operands, f32 accumulation
-(preferred_element_type), f32 biases, bf16 round only where the XLA convs
-round (after each conv's epilogue).  The 3x3 is nine shifted (R*W, Cmid) x
-(Cmid, Cmid) MXU GEMMs over the zero-padded band.
+Math matches the XLA fast path's rounding: bf16 operands, f32 conv
+accumulation, conv outputs rounded to the serving dtype BEFORE the
+dtype-cast bias add and residual add — the exact epilogue of
+``fastpath._conv``/``_block_forward``.  (The 3x3's f32 accumulator sums the
+nine taps in a different order than XLA's conv, which can differ by ~1 ulp
+f32 pre-round.)  The 3x3 is nine shifted (R*W, Cmid) x (Cmid, Cmid) MXU
+GEMMs over the zero-padded band.
 
 Applies ONLY to identity bottleneck blocks: stride 1, dilation 1, groups 1,
 no downsample branch, Cin == Cout (true for every non-first block of every
@@ -39,10 +42,12 @@ def _pick_band_rows(h: int, w: int, cin: int, cmid: int,
         out = r * w * cin * 2
         return xpad + y1 + acc + out
 
-    for r in (h, h // 2, h // 4, h // 8, h // 16):
-        if r and h % r == 0 and band_bytes(r) <= budget_bytes:
+    # largest divisor of h whose band fits the budget; rows=1 always divides
+    # and its band (3 rows) fits any realistic budget
+    for r in sorted((d for d in range(1, h + 1) if h % d == 0), reverse=True):
+        if band_bytes(r) <= budget_bytes:
             return r
-    return max(h // 16, 1)
+    return 1
 
 
 def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
@@ -85,14 +90,17 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
 
     xall = xpad[...]  # (R+2, W+2, Cin) bf16
 
-    # conv1 (1x1) + bias + relu on the haloed region so the 3x3 sees its halo
+    # conv1 (1x1) + bias + relu on the haloed region so the 3x3 sees its
+    # halo.  Rounding matches fastpath._conv exactly: the f32-accumulated
+    # conv output is rounded to the serving dtype FIRST, then the bias is
+    # added in that dtype (fastpath.py:_conv `y + b.astype(x.dtype)`).
+    dt = xall.dtype
     y1 = jax.lax.dot_general(
         xall.reshape(-1, cin), w1[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + b1[...]
-    y1 = jnp.maximum(y1, 0.0).astype(xall.dtype)
-    y1 = y1.reshape(rows + 2, w + 2, cmid)
+    ).astype(dt) + b1[...].astype(dt)
+    y1 = jnp.maximum(y1, 0).reshape(rows + 2, w + 2, cmid)
     # the 3x3's zero padding applies AFTER conv1: at out-of-image positions
     # conv1 of the zeroed x gives relu(b1), which must be forced back to 0
     # (columns 0 / w+1 always; row 0 only on the first band, row rows+1 only
@@ -117,16 +125,17 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    y2 = jnp.maximum(acc + b2[...], 0.0).astype(xall.dtype)
+    y2 = jnp.maximum(acc.astype(dt) + b2[...].astype(dt), 0)
 
-    # conv3 (1x1) + bias + residual + relu
+    # conv3 (1x1) + bias, then the residual add in the serving dtype — the
+    # same dtype semantics as _block_forward's `relu(y + identity)`
     y3 = jax.lax.dot_general(
         y2, w3[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + b3[...]
+    ).astype(dt) + b3[...].astype(dt)
     identity = xpad[1:rows + 1, 1:w + 1, :].reshape(-1, cin)
-    out = jnp.maximum(y3 + identity.astype(jnp.float32), 0.0)
+    out = jnp.maximum(y3 + identity, 0)
     out_ref[0] = out.astype(out_ref.dtype).reshape(rows, w, cin)
 
 

@@ -137,3 +137,14 @@ def setup_multihost(args) -> bool:
         return False
     init_multihost(args.coordinator, args.num_processes, args.process_id)
     return True
+
+
+def trainer_mesh(args, multihost: bool):
+    """The one mesh-selection rule shared by every trainer CLI: multi-host
+    spans every chip of every process; otherwise --num-devices > 1 selects a
+    local data mesh and anything else runs single-device (mesh=None)."""
+    from uemda_tpu.parallel import make_mesh
+
+    if multihost:
+        return make_mesh(None)
+    return make_mesh(args.num_devices) if (args.num_devices or 0) > 1 else None

@@ -372,14 +372,21 @@ def make_eval_hook(model, cfg: PairConfig, run_dir: str, logger,
     return eval_fn, on_best
 
 
-def _process_shard(batch_size: int):
+def process_shard(batch_size: int):
     """Multi-host: this process's (start, size) slice of every global batch
-    (parallel/multihost.py); None in single-process runs."""
+    (parallel/multihost.py); None in single-process runs.  EVERY iterator
+    that feeds a mesh-sharded train step must pass this to
+    ``infinite_batches`` — the trainers' hand-built target iterators
+    included — or shard_batch's multi-process branch assembles a duplicated,
+    P-times-inflated global batch."""
     if jax.process_count() == 1:
         return None
     from uemda_tpu.parallel.multihost import local_batch_slice
 
     return local_batch_slice(batch_size)
+
+
+_process_shard = process_shard  # internal alias
 
 
 def make_source_iter(cfg: PairConfig, seed=0, skip=0):
