@@ -15,7 +15,13 @@ dtype-cast bias add and residual add — the exact epilogue of
 ``fastpath._conv``/``_block_forward``.  (The 3x3's f32 accumulator sums the
 nine taps in a different order than XLA's conv, which can differ by ~1 ulp
 f32 pre-round.)  The 3x3 is nine shifted (R*W, Cmid) x (Cmid, Cmid) MXU
-GEMMs over the zero-padded band.
+GEMMs over the band.
+
+Mosaic layout rule that shapes this kernel: a memref slice offset in the
+sublane (second-minor) dim must be a multiple of the 8-row tile, so the
+VMEM scratch holds ONLY image columns (width w, aligned, dense DMA) and
+the 3x3's +-1 column shifts run at VALUE level (``jnp.roll`` + edge mask,
+a sublane rotate) instead of storing a 1-column halo at offset 1.
 
 Applies ONLY to identity bottleneck blocks: stride 1, dilation 1, groups 1,
 no downsample branch, Cin == Cout (true for every non-first block of every
@@ -33,14 +39,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_band_rows(h: int, w: int, cin: int, cmid: int,
-                    budget_bytes: int = 9 * 1024 * 1024) -> int:
-    """Largest row-band R dividing h whose working set fits the budget."""
+                    budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Largest row-band R dividing h whose working set fits the budget
+    (Mosaic's scoped-vmem stack limit is 16M; the accounting below tracks
+    every live vector value, measured within ~20% of the compiler's
+    number on the layer1/layer2 shapes)."""
     def band_bytes(r):
-        xpad = (r + 2) * (w + 2) * cin * 2
-        y1 = (r + 2) * (w + 2) * cmid * 2
+        xin = 2 * (r + 2) * w * cin * 2   # scratch ref + the loaded value
+        y1 = (r + 2) * w * cmid * 2
+        taps = 2 * r * w * cmid * 2       # transient rolled copies
         acc = r * w * cmid * 4
-        out = r * w * cin * 2
-        return xpad + y1 + acc + out
+        y3f32 = r * w * cin * 4           # conv3's f32 dot result
+        out = 3 * r * w * cin * 2         # value + double-buffered blocks
+        return xin + y1 + taps + acc + y3f32 + out
 
     # largest divisor of h whose band fits the budget; rows=1 always divides
     # and its band (3 rows) fits any realistic budget
@@ -50,47 +61,47 @@ def _pick_band_rows(h: int, w: int, cin: int, cmid: int,
     return 1
 
 
-def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
+def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
             *, rows, h, w, cin, cmid, n_bands):
     bi = pl.program_id(0)
     ri = pl.program_id(1)
 
-    # --- haloed band DMA (HBM -> VMEM), zero-padded at the image borders ---
-    # column borders are never written by the DMA: zero them every call
-    xpad[:, 0, :] = jnp.zeros((rows + 2, cin), xpad.dtype)
-    xpad[:, w + 1, :] = jnp.zeros((rows + 2, cin), xpad.dtype)
-
+    # --- haloed row-band DMA (HBM -> VMEM) ---
+    # xin holds ONLY image columns (full width w): the destination slice is
+    # sublane-aligned and the copy is dense.  Out-of-image halo ROWS are
+    # zeroed by ref writes on dim 0 (untiled); the 3x3's column padding is
+    # applied at value level below.
     def copy(src_rows_start, n, dst_start):
         cp = pltpu.make_async_copy(
             x_hbm.at[bi, pl.ds(src_rows_start, n), :, :],
-            xpad.at[pl.ds(dst_start, n), pl.ds(1, w), :],
+            xin.at[pl.ds(dst_start, n), :, :],
             sem,
         )
         cp.start()
         cp.wait()
 
     if n_bands == 1:
-        xpad[0, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
-        xpad[rows + 1, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+        xin[0, :, :] = jnp.zeros((w, cin), xin.dtype)
+        xin[rows + 1, :, :] = jnp.zeros((w, cin), xin.dtype)
         copy(0, rows, 1)
     else:
         @pl.when(ri == 0)
         def _():
-            xpad[0, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+            xin[0, :, :] = jnp.zeros((w, cin), xin.dtype)
             copy(0, rows + 1, 1)
 
         @pl.when(ri == n_bands - 1)
         def _():
-            xpad[rows + 1, :, :] = jnp.zeros((w + 2, cin), xpad.dtype)
+            xin[rows + 1, :, :] = jnp.zeros((w, cin), xin.dtype)
             copy(h - rows - 1, rows + 1, 0)
 
         @pl.when((ri > 0) & (ri < n_bands - 1))
         def _():
             copy(ri * rows - 1, rows + 2, 0)
 
-    xall = xpad[...]  # (R+2, W+2, Cin) bf16
+    xall = xin[...]  # (R+2, W, Cin) bf16
 
-    # conv1 (1x1) + bias + relu on the haloed region so the 3x3 sees its
+    # conv1 (1x1) + bias + relu on the haloed rows so the 3x3 sees its
     # halo.  Rounding matches fastpath._conv exactly: the f32-accumulated
     # conv output is rounded to the serving dtype FIRST, then the bias is
     # added in that dtype (fastpath.py:_conv `y + b.astype(x.dtype)`).
@@ -100,28 +111,38 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b1[...].astype(dt)
-    y1 = jnp.maximum(y1, 0).reshape(rows + 2, w + 2, cmid)
-    # the 3x3's zero padding applies AFTER conv1: at out-of-image positions
+    y1 = jnp.maximum(y1, 0).reshape(rows + 2, w, cmid)
+    # the 3x3's zero padding applies AFTER conv1: at out-of-image halo rows
     # conv1 of the zeroed x gives relu(b1), which must be forced back to 0
-    # (columns 0 / w+1 always; row 0 only on the first band, row rows+1 only
-    # on the last — interior halo rows hold real neighbor-band values)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w + 2, 1), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w + 2, 1), 0)
-    ri_ = pl.program_id(1)
-    invalid = (
-        (col < 1) | (col > w)
-        | ((ri_ == 0) & (row == 0))
-        | ((ri_ == n_bands - 1) & (row == rows + 1))
+    # (row 0 only on the first band, row rows+1 only on the last — interior
+    # halo rows hold real neighbor-band values)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w, 1), 0)
+    invalid = ((ri == 0) & (row == 0)) | (
+        (ri == n_bands - 1) & (row == rows + 1)
     )
     y1 = jnp.where(invalid, jnp.zeros_like(y1), y1)
 
-    # conv2 (3x3, pad 1) as nine shifted GEMMs, f32 accumulation
+    # conv2 (3x3, pad 1) as nine shifted GEMMs, f32 accumulation.  Row
+    # shifts are leading-dim value slices (free); column shifts are sublane
+    # rotates with the wrapped column masked to the conv's zero padding.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w, 1), 1)
     acc = jnp.zeros((rows * w, cmid), jnp.float32)
     for dy in range(3):
+        ytap = y1[dy:dy + rows]
         for dx in range(3):
-            patch = y1[dy:dy + rows, dx:dx + w, :].reshape(-1, cmid)
+            if dx == 0:  # output col c reads input col c-1
+                patch = jnp.where(
+                    col == 0, jnp.zeros_like(ytap), jnp.roll(ytap, 1, axis=1)
+                )
+            elif dx == 2:  # output col c reads input col c+1
+                patch = jnp.where(
+                    col == w - 1, jnp.zeros_like(ytap),
+                    jnp.roll(ytap, -1, axis=1),
+                )
+            else:
+                patch = ytap
             acc += jax.lax.dot_general(
-                patch, w2[3 * dy + dx],
+                patch.reshape(-1, cmid), w2[3 * dy + dx],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -134,7 +155,7 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xpad, sem,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b3[...].astype(dt)
-    identity = xpad[1:rows + 1, 1:w + 1, :].reshape(-1, cin)
+    identity = xall[1:rows + 1].reshape(-1, cin)
     out = jnp.maximum(y3 + identity, 0)
     out_ref[0] = out.astype(out_ref.dtype).reshape(rows, w, cin)
 
@@ -182,7 +203,7 @@ def bottleneck_identity_pallas(
             (1, rows, w, cin), lambda bi, ri: (bi, ri, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2, w + 2, cin), x.dtype),
+            pltpu.VMEM((rows + 2, w, cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
