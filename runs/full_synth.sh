@@ -4,17 +4,18 @@
 #   * 3 GENE_EVERY pseudo-label regenerations inside stage 3,
 #   * a hard kill + `--resume auto` mid-stage-3 (exact-resume proof),
 #   * the hardened serving gate across all three stage-best checkpoints.
-# Stages retry with `--resume auto` when the axon tunnel/device runtime
-# dies mid-run (the loop watchdog exits fast with a resume hint).
+# Trainer stages retry with `--resume auto` when the axon tunnel/device
+# runtime dies mid-run (the loop watchdog exits fast with a resume hint);
+# one-shot tools (init_prototypes) retry without it.
 # Results land in /tmp/uemda_full/log; summarize into runs/tpu_results/.
-set -ux
+set -eux
 cd "$(dirname "$0")/.."
 P=runs/full_synth_config.py
 LOG=/tmp/uemda_full/log
 
-retry() {  # retry "$@" with --resume auto until it exits 0 (max 6 tries)
+retry() {  # retry "$@" until it exits 0 (max 6 tries)
     local n=0
-    until "$@" --resume auto; do
+    until "$@"; do
         n=$((n + 1))
         [ $n -ge 6 ] && return 1
         echo "RETRY($n) after failure: $*" >&2
@@ -22,10 +23,13 @@ retry() {  # retry "$@" with --resume auto until it exits 0 (max 6 tries)
     done
 }
 
-retry python tools/train_src.py --config-path $P --align-domain 1
+retry_train() { retry "$@" --resume auto; }
+
+retry_train python tools/train_src.py --config-path $P --align-domain 1
 retry python tools/init_prototypes.py --config-path $P --stage 1 \
-    --ckpt-model $LOG/src/SynthTarget_best.msgpack
-retry python tools/train_align_uem.py --config-path $P --align-domain 1 \
+    --ckpt-model $LOG/src/SynthTarget_best.msgpack \
+    --ckpt-proto $LOG/src/prototypes_init.msgpack
+retry_train python tools/train_align_uem.py --config-path $P --align-domain 1 \
     --gen 1 --refine-label 1 \
     --ckpt-model $LOG/src/SynthTarget_best.msgpack \
     --ckpt-proto $LOG/src/prototypes_init.msgpack
@@ -39,8 +43,10 @@ SSL_FLAGS=(--config-path $P --gen 1 --refine-label 1 --lt uvem
 # run ~the first third of stage 3, then kill it mid-flight
 timeout 1500 python tools/train_ssl_uem.py "${SSL_FLAGS[@]}" || true
 # exact full-state resume to completion
-retry python tools/train_ssl_uem.py "${SSL_FLAGS[@]}"
+retry_train python tools/train_ssl_uem.py "${SSL_FLAGS[@]}"
 
+rc=0
 python tools/serving_gate.py --config-path $P \
-  --ckpt-path $LOG/src/SynthTarget_best.msgpack,$LOG/align/SynthTarget_best.msgpack,$LOG/ssl/SynthTarget_best.msgpack
-echo "FULL_SYNTH_DONE rc=$?"
+  --ckpt-path $LOG/src/SynthTarget_best.msgpack,$LOG/align/SynthTarget_best.msgpack,$LOG/ssl/SynthTarget_best.msgpack \
+  || rc=$?
+echo "FULL_SYNTH_DONE rc=$rc"

@@ -10,18 +10,19 @@ import jax.numpy as jnp
 from uemda_tpu.ops.pallas_resblock import bottleneck_identity_pallas
 
 
-def _xla_block(x, w1, b1, w2, b2, w3, b3):
+def _xla_block(x, w1, b1, w2, b2, w3, b3, dil=1):
     """The exact composition fastpath._conv/_block_forward executes: conv
     output in the serving dtype (f32 accumulation internal to XLA), bias
     cast to that dtype and added after."""
-    def conv(h, w, b, pad):
+    def conv(h, w, b, pad, d=1):
         y = jax.lax.conv_general_dilated(
             h, w.astype(h.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            rhs_dilation=(d, d),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y + b.astype(h.dtype)
     y = jax.nn.relu(conv(x, w1, b1, 0))
-    y = jax.nn.relu(conv(y, w2, b2, 1))
+    y = jax.nn.relu(conv(y, w2, b2, dil, dil))
     y = conv(y, w3, b3, 0)
     return jax.nn.relu(y + x)
 
@@ -51,6 +52,17 @@ def test_multi_band_halo_matches_xla():
     ref = _xla_block(*args)
     for rows in (8, 4):  # 2 and 4 bands — exercises first/interior/last DMA
         out = bottleneck_identity_pallas(*args, band_rows=rows)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dilated_matches_xla():
+    """dilation=2 (DeeplabV2's layer4 plan): 2-row halo, +-2 column shifts;
+    single-band, band==dil edge, and interior-band cases."""
+    args = _make(4)
+    ref = _xla_block(*args, dil=2)
+    for rows in (16, 8, 2):
+        out = bottleneck_identity_pallas(*args, band_rows=rows, dilation=2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 

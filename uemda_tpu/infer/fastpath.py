@@ -374,11 +374,12 @@ def _block_forward(x, blk, meta, stride, dilation):
 
 def _fusable(blk, meta, dilate) -> bool:
     """Identity bottleneck the Pallas fused-block kernel can take: stride 1
-    (rest blocks always are), dilation 1, no grouped conv, no downsample
-    branch, bf16 entries (not int8), 3x3 middle conv."""
+    (rest blocks always are), no grouped conv, no downsample branch, bf16
+    entries (not int8), 3x3 middle conv.  Dilated stages fuse too — the
+    kernel's halo/shifts scale with the dilation."""
     return (
         meta["block"] == "bottleneck"
-        and dilate == 1
+        and dilate >= 1
         and meta["groups"] == 1
         and "ds" not in blk
         and all("w" in blk[c] for c in ("conv1", "conv2", "conv3"))
@@ -407,6 +408,7 @@ def _stage_forward(x, blocks, meta, stride, dilate, s2b: bool, li: int = -1):
                     blk["conv1"]["w"], blk["conv1"]["b"],
                     blk["conv2"]["w"], blk["conv2"]["b"],
                     blk["conv3"]["w"], blk["conv3"]["b"],
+                    dilation=dilate,
                 )
             else:
                 x = _block_forward(x, blk, meta, 1, dilate)

@@ -14,8 +14,8 @@ accumulation, conv outputs rounded to the serving dtype BEFORE the
 dtype-cast bias add and residual add — the exact epilogue of
 ``fastpath._conv``/``_block_forward``.  (The 3x3's f32 accumulator sums the
 nine taps in a different order than XLA's conv, which can differ by ~1 ulp
-f32 pre-round.)  The 3x3 is nine shifted (R*W, Cmid) x (Cmid, Cmid) MXU
-GEMMs over the band.
+f32 pre-round.)  The 3x3 is a single (R*W, 9*Cmid) x (9*Cmid, Cmid) MXU
+GEMM over the im2col'd shifted band.
 
 Mosaic layout rule that shapes this kernel: a memref slice offset in the
 sublane (second-minor) dim must be a multiple of the 8-row tile, so the
@@ -23,9 +23,10 @@ VMEM scratch holds ONLY image columns (width w, aligned, dense DMA) and
 the 3x3's +-1 column shifts run at VALUE level (``jnp.roll`` + edge mask,
 a sublane rotate) instead of storing a 1-column halo at offset 1.
 
-Applies ONLY to identity bottleneck blocks: stride 1, dilation 1, groups 1,
-no downsample branch, Cin == Cout (true for every non-first block of every
-stage).  Opt-in from the serving fast path (build_fastpath(fused_blocks=..))
+Applies ONLY to identity bottleneck blocks: stride 1, groups 1, no
+downsample branch, Cin == Cout (true for every non-first block of every
+stage); the 3x3 may be dilated (halo/shifts scale with the dilation, the
+plan for DeeplabV2's dilated layer3/layer4).  Opt-in from the serving fast path (build_fastpath(fused_blocks=..))
 — A/B-measure on chip before enabling by default (the in-step-measurement
 rule: trace-visible copies can be overlapped time).
 """
@@ -38,39 +39,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_band_rows(h: int, w: int, cin: int, cmid: int,
+def _pick_band_rows(h: int, w: int, cin: int, cmid: int, dil: int = 1,
                     budget_bytes: int = 12 * 1024 * 1024) -> int:
     """Largest row-band R dividing h whose working set fits the budget
     (Mosaic's scoped-vmem stack limit is 16M; the accounting below tracks
     every live vector value, measured within ~20% of the compiler's
-    number on the layer1/layer2 shapes)."""
+    number on the layer1/layer2 shapes).  R >= dil so each interior band's
+    halo lies entirely in the neighbouring bands."""
     def band_bytes(r):
-        xin = 2 * (r + 2) * w * cin * 2   # scratch ref + the loaded value
-        y1 = (r + 2) * w * cmid * 2
-        taps = 2 * r * w * cmid * 2       # transient rolled copies
+        xin = 2 * (r + 2 * dil) * w * cin * 2  # scratch ref + loaded value
+        y1 = (r + 2 * dil) * w * cmid * 2
+        taps = (9 + 2) * r * w * cmid * 2  # im2col concat + transient rolls
         acc = r * w * cmid * 4
         y3f32 = r * w * cin * 4           # conv3's f32 dot result
         out = 3 * r * w * cin * 2         # value + double-buffered blocks
         return xin + y1 + taps + acc + y3f32 + out
 
-    # largest divisor of h whose band fits the budget; rows=1 always divides
-    # and its band (3 rows) fits any realistic budget
-    for r in sorted((d for d in range(1, h + 1) if h % d == 0), reverse=True):
+    # largest divisor of h whose band fits the budget; dil always divides
+    # the spatial sizes in practice (h is a power-of-two multiple of dil)
+    for r in sorted((d for d in range(dil, h + 1) if h % d == 0),
+                    reverse=True):
         if band_bytes(r) <= budget_bytes:
             return r
-    return 1
+    return dil
 
 
 def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
-            *, rows, h, w, cin, cmid, n_bands):
+            *, rows, h, w, cin, cmid, n_bands, dil):
     bi = pl.program_id(0)
     ri = pl.program_id(1)
 
     # --- haloed row-band DMA (HBM -> VMEM) ---
     # xin holds ONLY image columns (full width w): the destination slice is
-    # sublane-aligned and the copy is dense.  Out-of-image halo ROWS are
-    # zeroed by ref writes on dim 0 (untiled); the 3x3's column padding is
-    # applied at value level below.
+    # sublane-aligned and the copy is dense.  Out-of-image halo ROWS (dil on
+    # each side) are zeroed by ref writes on dim 0 (untiled); the 3x3's
+    # column padding is applied at value level below.
     def copy(src_rows_start, n, dst_start):
         cp = pltpu.make_async_copy(
             x_hbm.at[bi, pl.ds(src_rows_start, n), :, :],
@@ -80,26 +83,30 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
         cp.start()
         cp.wait()
 
+    def zero_rows(start):
+        for i in range(dil):
+            xin[start + i, :, :] = jnp.zeros((w, cin), xin.dtype)
+
     if n_bands == 1:
-        xin[0, :, :] = jnp.zeros((w, cin), xin.dtype)
-        xin[rows + 1, :, :] = jnp.zeros((w, cin), xin.dtype)
-        copy(0, rows, 1)
+        zero_rows(0)
+        zero_rows(rows + dil)
+        copy(0, rows, dil)
     else:
         @pl.when(ri == 0)
         def _():
-            xin[0, :, :] = jnp.zeros((w, cin), xin.dtype)
-            copy(0, rows + 1, 1)
+            zero_rows(0)
+            copy(0, rows + dil, dil)
 
         @pl.when(ri == n_bands - 1)
         def _():
-            xin[rows + 1, :, :] = jnp.zeros((w, cin), xin.dtype)
-            copy(h - rows - 1, rows + 1, 0)
+            zero_rows(rows + dil)
+            copy(h - rows - dil, rows + dil, 0)
 
         @pl.when((ri > 0) & (ri < n_bands - 1))
         def _():
-            copy(ri * rows - 1, rows + 2, 0)
+            copy(ri * rows - dil, rows + 2 * dil, 0)
 
-    xall = xin[...]  # (R+2, W, Cin) bf16
+    xall = xin[...]  # (R+2*dil, W, Cin) bf16
 
     # conv1 (1x1) + bias + relu on the haloed rows so the 3x3 sees its
     # halo.  Rounding matches fastpath._conv exactly: the f32-accumulated
@@ -111,41 +118,49 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b1[...].astype(dt)
-    y1 = jnp.maximum(y1, 0).reshape(rows + 2, w, cmid)
+    y1 = jnp.maximum(y1, 0).reshape(rows + 2 * dil, w, cmid)
     # the 3x3's zero padding applies AFTER conv1: at out-of-image halo rows
     # conv1 of the zeroed x gives relu(b1), which must be forced back to 0
-    # (row 0 only on the first band, row rows+1 only on the last — interior
-    # halo rows hold real neighbor-band values)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w, 1), 0)
-    invalid = ((ri == 0) & (row == 0)) | (
-        (ri == n_bands - 1) & (row == rows + 1)
+    # (top dil rows only on the first band, bottom dil rows only on the
+    # last — interior halo rows hold real neighbor-band values)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows + 2 * dil, w, 1), 0)
+    invalid = ((ri == 0) & (row < dil)) | (
+        (ri == n_bands - 1) & (row >= rows + dil)
     )
     y1 = jnp.where(invalid, jnp.zeros_like(y1), y1)
 
-    # conv2 (3x3, pad 1) as nine shifted GEMMs, f32 accumulation.  Row
-    # shifts are leading-dim value slices (free); column shifts are sublane
-    # rotates with the wrapped column masked to the conv's zero padding.
+    # conv2 (3x3, pad 1) as ONE (R*W, 9*Cmid) x (9*Cmid, Cmid) GEMM over the
+    # im2col'd taps.  Nine separate K=Cmid GEMMs underfeed the 128-deep MXU
+    # contraction (25% peak at Cmid=64 — why the first fused attempt LOST on
+    # layer1); a single K=9*Cmid matmul streams the whole contraction
+    # through.  Row shifts are leading-dim value slices (free); column
+    # shifts are sublane rotates with the wrapped column masked to the
+    # conv's zero padding.
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, w, 1), 1)
-    acc = jnp.zeros((rows * w, cmid), jnp.float32)
+    taps = []
     for dy in range(3):
-        ytap = y1[dy:dy + rows]
+        ytap = y1[dy * dil:dy * dil + rows]
         for dx in range(3):
-            if dx == 0:  # output col c reads input col c-1
+            if dx == 0:  # output col c reads input col c-dil
                 patch = jnp.where(
-                    col == 0, jnp.zeros_like(ytap), jnp.roll(ytap, 1, axis=1)
+                    col < dil, jnp.zeros_like(ytap),
+                    jnp.roll(ytap, dil, axis=1),
                 )
-            elif dx == 2:  # output col c reads input col c+1
+            elif dx == 2:  # output col c reads input col c+dil
                 patch = jnp.where(
-                    col == w - 1, jnp.zeros_like(ytap),
-                    jnp.roll(ytap, -1, axis=1),
+                    col >= w - dil, jnp.zeros_like(ytap),
+                    jnp.roll(ytap, -dil, axis=1),
                 )
             else:
                 patch = ytap
-            acc += jax.lax.dot_general(
-                patch.reshape(-1, cmid), w2[3 * dy + dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            taps.append(patch.reshape(rows * w, cmid))
+    # lane-axis concat in (dy, dx) order — matches w2's HWIO row-major
+    # (ky, kx, ci) reshape to (9*Cmid, Cmid)
+    acc = jax.lax.dot_general(
+        jnp.concatenate(taps, axis=1), w2[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     y2 = jnp.maximum(acc.astype(dt) + b2[...].astype(dt), 0)
 
     # conv3 (1x1) + bias, then the residual add in the serving dtype — the
@@ -155,7 +170,7 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b3[...].astype(dt)
-    identity = xall[1:rows + 1].reshape(-1, cin)
+    identity = xall[dil:rows + dil].reshape(-1, cin)
     out = jnp.maximum(y3 + identity, 0)
     out_ref[0] = out.astype(out_ref.dtype).reshape(rows, w, cin)
 
@@ -166,22 +181,27 @@ def bottleneck_identity_pallas(
     w2: jnp.ndarray, b2: jnp.ndarray,
     w3: jnp.ndarray, b3: jnp.ndarray,
     band_rows: int = 0,
+    dilation: int = 1,
 ) -> jnp.ndarray:
     """x (B, H, W, C); w1 (1,1,C,Cm), w2 (3,3,Cm,Cm), w3 (1,1,Cm,C) HWIO
     conv kernels (BN already folded; biases f32).  Returns
     relu(conv3(relu(conv2(relu(conv1(x))))) + x) exactly like the XLA path
-    in ``infer/fastpath._block_forward``."""
+    in ``infer/fastpath._block_forward``; the 3x3 runs at ``dilation`` with
+    SAME padding (= padding dilation), the plan for the dilated stages of
+    ``uemda/_resnets.py:72-112``."""
     b, h, w, cin = x.shape
     cmid = w1.shape[-1]
+    dil = int(dilation)
     assert w1.shape[:2] == (1, 1) and w3.shape[:2] == (1, 1)
     assert w2.shape[:2] == (3, 3) and w3.shape[-1] == cin, (w2.shape, w3.shape)
-    rows = band_rows or _pick_band_rows(h, w, cin, cmid)
-    assert h % rows == 0, (h, rows)
+    assert 1 <= dil <= min(h, w), (dil, h, w)
+    rows = band_rows or _pick_band_rows(h, w, cin, cmid, dil)
+    assert h % rows == 0 and rows >= dil, (h, rows, dil)
     n_bands = h // rows
     interpret = jax.devices()[0].platform == "cpu"
 
     w1m = w1.reshape(cin, cmid)
-    w2m = w2.reshape(9, cmid, cmid)
+    w2m = w2.reshape(9 * cmid, cmid)
     w3m = w3.reshape(cmid, cin)
     b1r = b1.reshape(1, cmid).astype(jnp.float32)
     b2r = b2.reshape(1, cmid).astype(jnp.float32)
@@ -194,7 +214,7 @@ def bottleneck_identity_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((cin, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
-            pl.BlockSpec((9, cmid, cmid), lambda bi, ri: (0, 0, 0)),
+            pl.BlockSpec((9 * cmid, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((cmid, cin), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cin), lambda bi, ri: (0, 0)),
@@ -203,13 +223,14 @@ def bottleneck_identity_pallas(
             (1, rows, w, cin), lambda bi, ri: (bi, ri, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2, w, cin), x.dtype),
+            pltpu.VMEM((rows + 2 * dil, w, cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel, rows=rows, h=h, w=w, cin=cin, cmid=cmid, n_bands=n_bands
+            _kernel, rows=rows, h=h, w=w, cin=cin, cmid=cmid,
+            n_bands=n_bands, dil=dil,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cin), x.dtype),
