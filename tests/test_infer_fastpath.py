@@ -140,6 +140,39 @@ def test_fastpath_int8_calibrated_scales_match_dynamic_on_calib_batch():
     assert len(leaves_with_a) > 0
 
 
+def test_fastpath_fused_stem_parity():
+    """Fused Pallas stem conv + maxpool (ops/pallas_stem.py) through the
+    full serving forward vs the standard apply (resnet50, 7x7 stem)."""
+    model, variables, x, ref = _init("resnet50", hw=64, seed=9)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32,
+                                 fused_stem=True)
+    assert "stem_fused" in params
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fastpath_fused_stem_falls_back_when_not_div4():
+    """H, W divisible by 2 but not 4: the W-pair packing cannot run; the
+    forward silently uses the plain stem + maxpool and stays exact."""
+    model, variables, _, _ = _init("resnet50", hw=64, seed=10)
+    x = jax.random.normal(jax.random.key(42), (1, 30, 30, 3))
+    ref = np.asarray(model.apply(variables, x, train=False))
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32,
+                                 fused_stem=True)
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fastpath_fused_stem_ignored_for_deep_stem():
+    """v1c deep stems keep the XLA path: fused_stem must be a no-op."""
+    model, variables, x, ref = _init("resnet50_v1c", hw=32, seed=11)
+    fn, params = make_serving_fn(model, variables, dtype=jnp.float32,
+                                 fused_stem=True)
+    assert "stem_fused" not in params
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
 def test_fastpath_rejects_odd_input_sizes():
     model, variables, _, _ = _init("resnet18", hw=32, seed=8)
     fn, params = make_serving_fn(model, variables, dtype=jnp.float32)

@@ -37,7 +37,7 @@ def _bench(fn, *args, reps=3):
 
 
 def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
-               tile=512, fastpath=False, fused_stages=()):
+               tile=512, fastpath=False, fused_stages=(), fused_stem=False):
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +48,8 @@ def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
         from uemda_tpu.infer.fastpath import build_fastpath
 
         m, v = build_fastpath(model, variables, dtype=dtype, int8=int8,
-                              fused_stages=tuple(fused_stages))
+                              fused_stages=tuple(fused_stages),
+                              fused_stem=fused_stem)
     else:
         v = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
@@ -269,6 +270,18 @@ def main():
         emit("eval_fastpath_fused_tiles_per_sec",
              bench_eval(model, variables, batch, k_chain, "bfloat16", False,
                         reps, tile, fastpath=True, fused_stages=(1, 2)),
+             "tiles/s")
+    if "eval_fastpath_stem" in modes:
+        # fused Pallas stem conv + maxpool (ops/pallas_stem.py) — the
+        # in-step A/B vs eval_fastpath (exact math)
+        emit("eval_fastpath_stem_tiles_per_sec",
+             bench_eval(model, variables, batch, k_chain, "bfloat16", False,
+                        reps, tile, fastpath=True, fused_stem=True),
+             "tiles/s")
+    if "eval_fastpath_stem_int8" in modes:
+        emit("eval_fastpath_stem_int8_tiles_per_sec",
+             bench_eval(model, variables, batch, k_chain, "bfloat16", True,
+                        reps, tile, fastpath=True, fused_stem=True),
              "tiles/s")
     if "eval_fastpath_int8" in modes:
         emit("eval_fastpath_int8_tiles_per_sec",

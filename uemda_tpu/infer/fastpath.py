@@ -191,6 +191,7 @@ def build_serving_params(
     heads_int8: bool = False,
     int8_stages: Tuple[int, ...] = (),
     fused_stages: Tuple[int, ...] = (),
+    fused_stem: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Fold a trained DeeplabV2 checkpoint into the serving layout.
 
@@ -225,6 +226,10 @@ def build_serving_params(
         # VMEM kernel (ops/pallas_resblock.py) — the HBM-bound early stages;
         # exact math, opt-in (A/B-measure in-step before enabling)
         "fused_stages": tuple(fused_stages),
+        # fused stem conv + maxpool Pallas kernel (ops/pallas_stem.py):
+        # skips the HBM round trip of the (B, H/2, W/2, 64) conv output;
+        # 7x7 stems only (v1c deep stems keep the XLA path)
+        "fused_stem": bool(fused_stem) and not deep_stem,
     }
     out: Dict[str, Any] = {}
 
@@ -248,6 +253,13 @@ def build_serving_params(
     else:
         w, b = _fold(enc_p["conv1"], enc_p["bn1"]["bn"], enc_s["bn1"]["bn"])
         out["stem"] = put(_s2d_stem_kernel(w), b)
+        if meta["fused_stem"]:
+            from uemda_tpu.ops.pallas_stem import pack_stem_weight
+
+            # keep the plain stem too: serving_forward falls back to it for
+            # input sizes the W-pair packing cannot take (H or W % 4 != 0)
+            wp, bp = pack_stem_weight(_s2d_stem_kernel(w), b)
+            out["stem_fused"] = put(wp, bp)
 
     n_stages = 4 if cfg.backbone.include_conv5 else 3
     for li in range(n_stages):
@@ -457,15 +469,24 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
         return ((k // 2, (k - 1) // 2),) * 2
 
     y = _space_to_depth(x)
-    if meta["deep_stem"]:
+    if (meta.get("fused_stem") and "stem_fused" in params
+            and in_hw[0] % 4 == 0 and in_hw[1] % 4 == 0):
+        # fused Pallas stem conv + maxpool (ops/pallas_stem.py): the conv
+        # rows never leave VMEM; only the pooled (B, H/4, W/4, 64) lands
+        from uemda_tpu.ops.pallas_stem import pack_w_pairs, stem_pool_pallas
+
+        sf = params["stem_fused"]
+        y = stem_pool_pallas(pack_w_pairs(y), sf["w"], sf["b"])
+    elif meta["deep_stem"]:
         stems = params["deep_stem"]
         y = jax.nn.relu(_conv(y, **stems[0], pad=s2d_pad(stems[0]["w"])))
         y = jax.nn.relu(_conv(y, **stems[1]))
         y = jax.nn.relu(_conv(y, **stems[2]))
+        y = _max_pool_3x3_s2(y)
     else:
         y = jax.nn.relu(_conv(y, **params["stem"],
                               pad=s2d_pad(params["stem"]["w"])))
-    y = _max_pool_3x3_s2(y)
+        y = _max_pool_3x3_s2(y)
 
     plan = stage_plan(meta["output_stride"])
     n_stages = 4 if meta["include_conv5"] else 3
@@ -664,6 +685,7 @@ def build_fastpath(
     int8: bool = False,
     calibration_batches=None,
     fused_stages: Tuple[int, ...] = (),
+    fused_stem: bool = False,
 ) -> Tuple["FastpathModel", Dict[str, Any]]:
     """CLI-facing entry: fold ``variables`` and return ``(model-like,
     serving_params)`` ready for ``make_predictor`` / ``evaluate_dataset``.
@@ -677,7 +699,7 @@ def build_fastpath(
         model, variables, dtype=dtype,
         s2b_layer4=False,  # measured slower on v5e (docs/PERF_NOTES.md)
         heads_int8=int8, int8_stages=(3, 4) if int8 else (),
-        fused_stages=fused_stages,
+        fused_stages=fused_stages, fused_stem=fused_stem,
     )
     if int8 and calibration_batches is not None:
         params = calibrate_act_scales(meta, params, calibration_batches)
@@ -691,6 +713,8 @@ def make_serving_fn(
     s2b_layer4: bool = False,
     heads_int8: bool = False,
     int8_stages: Tuple[int, ...] = (),
+    fused_stages: Tuple[int, ...] = (),
+    fused_stem: bool = False,
 ):
     """Convenience: returns ``(apply_fn, params)`` where
     ``apply_fn(params, images)`` is the folded eval forward (drop-in for
@@ -700,5 +724,6 @@ def make_serving_fn(
     meta, params = build_serving_params(
         model, variables, dtype=dtype, s2b_layer4=s2b_layer4,
         heads_int8=heads_int8, int8_stages=int8_stages,
+        fused_stages=fused_stages, fused_stem=fused_stem,
     )
     return functools.partial(serving_forward, meta), params
