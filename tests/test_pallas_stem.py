@@ -9,8 +9,8 @@ import jax.numpy as jnp
 
 from uemda_tpu.models.resnet import _max_pool_3x3_s2
 from uemda_tpu.ops.pallas_stem import (
+    pack_cw,
     pack_stem_weight,
-    pack_w_pairs,
     stem_pool_pallas,
 )
 
@@ -38,7 +38,7 @@ def _make(seed, b=2, h2=32, dtype=jnp.float32):
 def _run(xs, w4, b4, pool_rows):
     wp, bp = pack_stem_weight(w4, b4)
     return stem_pool_pallas(
-        pack_w_pairs(xs), jnp.asarray(wp, xs.dtype), jnp.asarray(bp),
+        pack_cw(xs), jnp.asarray(wp, xs.dtype), jnp.asarray(bp),
         pool_rows=pool_rows,
     )
 

@@ -473,10 +473,10 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
             and in_hw[0] % 4 == 0 and in_hw[1] % 4 == 0):
         # fused Pallas stem conv + maxpool (ops/pallas_stem.py): the conv
         # rows never leave VMEM; only the pooled (B, H/4, W/4, 64) lands
-        from uemda_tpu.ops.pallas_stem import pack_w_pairs, stem_pool_pallas
+        from uemda_tpu.ops.pallas_stem import pack_cw, stem_pool_pallas
 
         sf = params["stem_fused"]
-        y = stem_pool_pallas(pack_w_pairs(y), sf["w"], sf["b"])
+        y = stem_pool_pallas(pack_cw(y), sf["w"], sf["b"])
     elif meta["deep_stem"]:
         stems = params["deep_stem"]
         y = jax.nn.relu(_conv(y, **stems[0], pad=s2d_pad(stems[0]["w"])))
