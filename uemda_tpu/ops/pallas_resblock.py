@@ -14,8 +14,10 @@ accumulation, conv outputs rounded to the serving dtype BEFORE the
 dtype-cast bias add and residual add — the exact epilogue of
 ``fastpath._conv``/``_block_forward``.  (The 3x3's f32 accumulator sums the
 nine taps in a different order than XLA's conv, which can differ by ~1 ulp
-f32 pre-round.)  The 3x3 is a single (R*W, 9*Cmid) x (9*Cmid, Cmid) MXU
-GEMM over the im2col'd shifted band.
+f32 pre-round.)  The 3x3 runs as three (R*W, Cmid) x (Cmid, 3*Cmid) MXU
+GEMMs — row taps contracted per-GEMM, column taps stacked in the output
+dim and resolved by post-GEMM sublane shifts (no im2col concat: a lane-
+axis concat of 64-channel pieces lowers as per-piece relayouts).
 
 Mosaic layout rule that shapes this kernel: a memref slice offset in the
 sublane (second-minor) dim must be a multiple of the 8-row tile, so the
@@ -49,7 +51,8 @@ def _pick_band_rows(h: int, w: int, cin: int, cmid: int, dil: int = 1,
     def band_bytes(r):
         xin = 2 * (r + 2 * dil) * w * cin * 2  # scratch ref + loaded value
         y1 = (r + 2 * dil) * w * cmid * 2
-        taps = (9 + 2) * r * w * cmid * 2  # im2col concat + transient rolls
+        # conv2 g accumulator (f32, 3*cmid lane-padded) + shifted parts
+        taps = r * w * (-(-3 * cmid // 128) * 128) * 4 + 2 * r * w * 128 * 4
         acc = r * w * cmid * 4
         y3f32 = r * w * cin * 4           # conv3's f32 dot result
         out = 3 * r * w * cin * 2         # value + double-buffered blocks
@@ -129,38 +132,41 @@ def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
     )
     y1 = jnp.where(invalid, jnp.zeros_like(y1), y1)
 
-    # conv2 (3x3, pad 1) as ONE (R*W, 9*Cmid) x (9*Cmid, Cmid) GEMM over the
-    # im2col'd taps.  Nine separate K=Cmid GEMMs underfeed the 128-deep MXU
-    # contraction (25% peak at Cmid=64 — why the first fused attempt LOST on
-    # layer1); a single K=9*Cmid matmul streams the whole contraction
-    # through.  Row shifts are leading-dim value slices (free); column
-    # shifts are sublane rotates with the wrapped column masked to the
-    # conv's zero padding.
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w, 1), 1)
-    taps = []
+    # conv2 (3x3, pad dil) as three row-tap GEMMs with the COLUMN taps
+    # stacked in the weight's output dim: g[.., dx*Cmid+co] = sum_dy
+    # y1[r+dy'] @ W[dy, dx], then out[c] = sum_dx shift_dx(g_dx)[c].  The
+    # first fused version im2col'd all nine taps into one (R*W, 9*Cmid)
+    # operand — a lane-axis concat of 64-channel pieces that Mosaic
+    # lowers as per-piece relayouts, and nine live tap buffers; this form
+    # has NO input concat (row taps are free leading-dim slices of y1) and
+    # the column shifts run once on the f32 GEMM output (sublane rotates,
+    # wrapped column masked to the conv's zero padding).
+    g = None
     for dy in range(3):
-        ytap = y1[dy * dil:dy * dil + rows]
-        for dx in range(3):
-            if dx == 0:  # output col c reads input col c-dil
-                patch = jnp.where(
-                    col < dil, jnp.zeros_like(ytap),
-                    jnp.roll(ytap, dil, axis=1),
-                )
-            elif dx == 2:  # output col c reads input col c+dil
-                patch = jnp.where(
-                    col >= w - dil, jnp.zeros_like(ytap),
-                    jnp.roll(ytap, -dil, axis=1),
-                )
-            else:
-                patch = ytap
-            taps.append(patch.reshape(rows * w, cmid))
-    # lane-axis concat in (dy, dx) order — matches w2's HWIO row-major
-    # (ky, kx, ci) reshape to (9*Cmid, Cmid)
-    acc = jax.lax.dot_general(
-        jnp.concatenate(taps, axis=1), w2[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        lhs = y1[dy * dil:dy * dil + rows].reshape(rows * w, cmid)
+        r = jax.lax.dot_general(
+            lhs, w2[dy * cmid:(dy + 1) * cmid, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # (R*W, 3*Cmid) f32
+        g = r if g is None else g + r
+    g = g.reshape(rows, w, 3 * cmid)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w, 1), 1)
+    acc = None
+    for dx in range(3):
+        part = g[..., dx * cmid:(dx + 1) * cmid]
+        if dx == 0:  # output col c reads input col c-dil
+            part = jnp.where(
+                col < dil, jnp.zeros_like(part),
+                jnp.roll(part, dil, axis=1),
+            )
+        elif dx == 2:  # output col c reads input col c+dil
+            part = jnp.where(
+                col >= w - dil, jnp.zeros_like(part),
+                jnp.roll(part, -dil, axis=1),
+            )
+        acc = part if acc is None else acc + part
+    acc = acc.reshape(rows * w, cmid)
     y2 = jnp.maximum(acc.astype(dt) + b2[...].astype(dt), 0)
 
     # conv3 (1x1) + bias, then the residual add in the serving dtype — the
@@ -201,7 +207,9 @@ def bottleneck_identity_pallas(
     interpret = jax.devices()[0].platform == "cpu"
 
     w1m = w1.reshape(cin, cmid)
-    w2m = w2.reshape(9 * cmid, cmid)
+    # rows dy*cmid+ci, cols dx*cmid+co: the kernel's per-dy GEMMs contract
+    # ci and produce all three column taps stacked in the output dim
+    w2m = w2.transpose(0, 2, 1, 3).reshape(3 * cmid, 3 * cmid)
     w3m = w3.reshape(cmid, cin)
     b1r = b1.reshape(1, cmid).astype(jnp.float32)
     b2r = b2.reshape(1, cmid).astype(jnp.float32)
@@ -214,7 +222,7 @@ def bottleneck_identity_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((cin, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
-            pl.BlockSpec((9 * cmid, cmid), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((3 * cmid, 3 * cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((cmid, cin), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cin), lambda bi, ri: (0, 0)),

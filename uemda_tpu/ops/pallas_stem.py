@@ -18,8 +18,9 @@ width in lanes —
 which is tile-dense (24 % 8 == 0, W/4 % 128 == 0 at the 512/1024 serving
 tiles), so HBM traffic is the true byte count.  Consequences:
 
-* the conv contracts channels (sublanes) against a (24, 128) weight slice
-  per tap — 12 row-batched MXU GEMMs accumulated in f32;
+* the conv contracts channels (sublanes) against a (96, 128) weight slice
+  per column shift — 3 row-batched MXU GEMMs (K = 4 ky taps x 24 ch)
+  accumulated in f32;
 * both column parities come out as output channels (128 = jp*64 + o), so
   the pool's stride-2 column selection is a SUBLANE split plus one lane
   roll — no strided slicing on tiled dims;
@@ -63,19 +64,20 @@ def pack_cw(y: jnp.ndarray) -> jnp.ndarray:
 def pack_stem_weight(w4: np.ndarray, b4: np.ndarray):
     """Re-index the (4, 4, C, O) s2d stem kernel (pad (2,1) per axis,
     ``fastpath._s2d_stem_kernel``) for the W-paired layout: returns
-    w' (4*3*2C, 2*O) with rows (ky*3 + qx+1)*2C + (jpi*C + c), qx taps in
+    w' (3*4*2C, 2*O) with rows (qx+1)*8C + ky*2C + (jpi*C + c), qx taps in
     {-1, 0, +1} (pad (1,1)), and output channels jp*O + o, plus the bias
-    tiled per parity."""
+    tiled per parity.  qx-major row order so the kernel contracts all four
+    ky taps of one column shift in a single K=8C GEMM."""
     ky_n, kx_n, c, o = w4.shape
     assert (ky_n, kx_n) == (4, 4), w4.shape
-    wp = np.zeros((4, 3, 2 * c, 2 * o), w4.dtype)
+    wp = np.zeros((3, 4, 2 * c, 2 * o), w4.dtype)
     for jp in (0, 1):
         for kx in range(4):
             # output s2d col j = 2k+jp reads input s2d col j' = j + kx - 2
             dj = jp + kx - 2
             qx, jpi = dj // 2, dj % 2
             assert -1 <= qx <= 1, (jp, kx)
-            wp[:, qx + 1, jpi * c:(jpi + 1) * c, jp * o:(jp + 1) * o] = \
+            wp[qx + 1, :, jpi * c:(jpi + 1) * c, jp * o:(jp + 1) * o] = \
                 w4[:, kx]
     return wp.reshape(24 * c, 2 * o), np.concatenate([b4, b4])
 
@@ -91,8 +93,8 @@ def _pick_pool_rows(h4: int, w4_: int, budget_bytes: int = 10 * 1024 * 1024
         nc = 2 * p + 1
         blocks = 6 * (2 * p * 24 * w4p * 2)       # 3 inputs x double-buffer
         xall = (2 * p + 4) * 24 * w4p * 2
-        taps = 2 * nc * 24 * w4p * 2              # ~2 transient tap values
-        wbr = nc * 24 * 128 * 2                   # broadcast weight slice
+        taps = 2 * nc * 96 * w4p * 2              # xcat + 1 transient roll
+        wbr = nc * 96 * 128 * 2                   # broadcast weight slice
         acc = nc * 128 * w4p * 4
         cv = nc * 128 * w4p * 2
         pool = 3 * nc * 64 * w4p * 2              # colmax + a/c_ temps
@@ -123,35 +125,38 @@ def _kernel(xprev, xcur, xnext, w, b, out_ref, *, p_rows, w4_, n_bands):
     xall = jnp.concatenate([prev_tail, xcur[0], next_head], axis=0)
 
     dt = xall.dtype
-    col = jax.lax.broadcasted_iota(jnp.int32, (nc, 24, w4_), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nc, 96, w4_), 2)
 
-    # conv: 12 row-batched (24 -> 128) GEMMs accumulated in f32.  Column
+    # conv: 3 row-batched (96 -> 128) GEMMs accumulated in f32 — the four
+    # ky row taps of each column shift stack in the sublane (channel) dim
+    # so the MXU contracts K=96 per GEMM instead of K=24 per tap.  Column
     # taps qx in {-1, 0, +1} are lane rolls with the wrapped lane masked to
     # the conv's zero padding; row taps ky are free leading-dim slices.
+    xcat = jnp.concatenate(
+        [xall[ky:ky + nc] for ky in range(4)], axis=1
+    )                                              # (nc, 96, W4)
     acc = None
-    for ky in range(4):
-        xrow = xall[ky:ky + nc]                    # (nc, 24, W4)
-        for qxi, qx in enumerate((-1, 0, 1)):
-            if qx == -1:
-                patch = jnp.where(
-                    col == 0, jnp.zeros_like(xrow),
-                    jnp.roll(xrow, 1, axis=2),
-                )
-            elif qx == 1:
-                patch = jnp.where(
-                    col == w4_ - 1, jnp.zeros_like(xrow),
-                    jnp.roll(xrow, -1, axis=2),
-                )
-            else:
-                patch = xrow
-            t = (ky * 3 + qxi) * 24
-            wb = jnp.broadcast_to(w[t:t + 24, :][None], (nc, 24, 128))
-            r = jax.lax.dot_general(
-                wb, patch,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                      # (nc, 128, W4)
-            acc = r if acc is None else acc + r
+    for qxi, qx in enumerate((-1, 0, 1)):
+        if qx == -1:
+            patch = jnp.where(
+                col == 0, jnp.zeros_like(xcat),
+                jnp.roll(xcat, 1, axis=2),
+            )
+        elif qx == 1:
+            patch = jnp.where(
+                col == w4_ - 1, jnp.zeros_like(xcat),
+                jnp.roll(xcat, -1, axis=2),
+            )
+        else:
+            patch = xcat
+        wb = jnp.broadcast_to(w[qxi * 96:(qxi + 1) * 96, :][None],
+                              (nc, 96, 128))
+        r = jax.lax.dot_general(
+            wb, patch,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (nc, 128, W4)
+        acc = r if acc is None else acc + r
     cv = acc.astype(dt) + b[...].astype(dt)[None]  # bias (128, 1) per out-ch
     cv = jnp.maximum(cv, 0)
     # first band's c_rel==0 is the phantom conv row -1 (pool padding):
