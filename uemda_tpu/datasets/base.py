@@ -61,9 +61,10 @@ class SegDataset:
 
     def item(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.image_paths[idx]
-        out: Dict[str, np.ndarray] = {
-            "image": self.cache.get(path, read_image).astype(np.float32)
-        }
+        # images ship as the decoded uint8 — 4x less host->device transfer
+        # than the reference's f32 tensors (daLoader collate); the cast to
+        # f32 happens on device in augment.normalize (exact for 0-255)
+        out: Dict[str, np.ndarray] = {"image": self.cache.get(path, read_image)}
         if self.label_type == "id" and self.mask_dir_single:
             mp = mask_path_for(path, self.mask_dir_single)
             out["label"] = self.cache.get(

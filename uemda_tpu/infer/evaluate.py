@@ -39,7 +39,9 @@ def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
 
     def gen():
         for indices, batch in sequential_batches(dataset, batch_size):
-            images = np.asarray(batch["image"], np.float32)
+            # keep the decoded uint8 — normalize casts to f32 on device,
+            # so the transfer ships 4x fewer bytes
+            images = np.asarray(batch["image"])
             n = images.shape[0]
             if n < batch_size:
                 pad = batch_size - n
@@ -73,7 +75,7 @@ def collect_calib_batches(dataset, batch_size, mean, std, n,
 
     out = []
     for _, batch in sequential_batches(dataset, batch_size):
-        images = np.asarray(batch["image"], np.float32)
+        images = np.asarray(batch["image"])  # uint8; normalize casts on device
         if tile is not None:
             th = min(tile[0], images.shape[1]) // 2 * 2
             tw = min(tile[1], images.shape[2]) // 2 * 2

@@ -170,6 +170,25 @@ def _deadline(fn, timeout_s: float, what: str):
     return val
 
 
+def _device_iter(iterator, mesh, depth: int = 2):
+    """Second prefetch stage: pull host batches and device_put (or
+    mesh-shard) them on a worker thread so upload overlaps compute.
+
+    Composes with the decode prefetch (datasets/prefetch.py) — the worker
+    here is that stage's single consumer, so the queue handoff stays
+    race-free."""
+    from uemda_tpu.datasets.prefetch import prefetch
+
+    if mesh is not None:
+        def put(b):
+            return shard_batch(mesh, b)
+    else:
+        def put(b):
+            return jax.tree.map(jax.device_put, b)
+
+    return prefetch((put(b) for b in iterator), depth=depth)
+
+
 def run_training_loop(
     state: TrainState,
     step_fn: Callable,
@@ -194,6 +213,15 @@ def run_training_loop(
     key sequence an uninterrupted run would have used."""
     key0 = jax.random.key(rng_seed)
     t0 = time.time()
+    # host->device upload runs in a background thread (a second prefetch
+    # stage wrapping the decode prefetch), so the transfer overlaps the
+    # previous step's compute instead of sitting on the dispatch critical
+    # path — the TPU analog of DataLoader pin_memory + non_blocking copies
+    # the reference never uses (uemda/tools/train_src.py:120 blocks on
+    # .cuda() per batch).  With a mesh this is also where batches shard.
+    source_iter = _device_iter(source_iter, mesh)
+    if target_iter is not None:
+        target_iter = _device_iter(target_iter, mesh)
     # multi-host: logging / metric readback / eval / checkpointing run on
     # process 0 only (the step itself is SPMD across all processes; eval and
     # saves are process-local, so skipping them elsewhere cannot desync any
@@ -238,9 +266,6 @@ def run_training_loop(
             profiling = False
         batch_s = next(source_iter)
         batch_t = next(target_iter) if target_iter is not None else None
-        if mesh is not None:
-            batch_s = shard_batch(mesh, batch_s)
-            batch_t = shard_batch(mesh, batch_t) if batch_t is not None else None
         sub = jax.random.fold_in(key0, i)
         if batch_t is not None:
             state, metrics = step_fn(state, batch_s, batch_t, sub)
