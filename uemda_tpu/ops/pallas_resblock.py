@@ -4,10 +4,20 @@ The round-1 XProf eval trace put the early ResNet stages at ~37% MXU — they
 are HBM-bandwidth-bound: XLA executes the bottleneck block
 (1x1 -> 3x3 -> 1x1 + skip, ``uemda/_resnets.py:72-112``) as three separate
 convs, each doing a full HBM round trip of the activation.  This kernel
-keeps the whole block in VMEM: the input row band (with a 1-row halo for
-the 3x3) is DMA'd from HBM ONCE, the three GEMMs + biases + ReLUs + the
-residual add all run on-chip, and only the output band is written back —
-~3x less activation traffic for the identity blocks of layer1/layer2.
+keeps the whole block in VMEM: the input row band is read ONCE, the three
+GEMMs + biases + ReLUs + the residual add all run on-chip, and only the
+output band is written back — ~3x less activation traffic for the identity
+blocks of layer1/layer2.
+
+Pipelining (the lesson of the first on-chip A/B, where a manual
+``make_async_copy`` + immediate wait per band lost 9% end-to-end to XLA):
+ALL inputs arrive via BlockSpecs so Mosaic double-buffers the fetches
+against compute.  The row halo the 3x3 needs comes from two extra
+dil-row-tall views of the same input array — ``prev_tail`` (last dil rows
+of the band above) and ``next_head`` (first dil rows of the band below),
+block-aligned because ``rows % dil == 0`` — assembled around the current
+band at value level.  Out-of-image halo rows are masked to the conv's zero
+padding; the halo blocks' index maps clamp at the array edges.
 
 Math matches the XLA fast path's rounding: bf16 operands, f32 conv
 accumulation, conv outputs rounded to the serving dtype BEFORE the
@@ -19,18 +29,13 @@ GEMMs — row taps contracted per-GEMM, column taps stacked in the output
 dim and resolved by post-GEMM sublane shifts (no im2col concat: a lane-
 axis concat of 64-channel pieces lowers as per-piece relayouts).
 
-Mosaic layout rule that shapes this kernel: a memref slice offset in the
-sublane (second-minor) dim must be a multiple of the 8-row tile, so the
-VMEM scratch holds ONLY image columns (width w, aligned, dense DMA) and
-the 3x3's +-1 column shifts run at VALUE level (``jnp.roll`` + edge mask,
-a sublane rotate) instead of storing a 1-column halo at offset 1.
-
 Applies ONLY to identity bottleneck blocks: stride 1, groups 1, no
 downsample branch, Cin == Cout (true for every non-first block of every
 stage); the 3x3 may be dilated (halo/shifts scale with the dilation, the
-plan for DeeplabV2's dilated layer3/layer4).  Opt-in from the serving fast path (build_fastpath(fused_blocks=..))
-— A/B-measure on chip before enabling by default (the in-step-measurement
-rule: trace-visible copies can be overlapped time).
+plan for DeeplabV2's dilated layer3/layer4).  Opt-in from the serving fast
+path (build_fastpath(fused_stages=..)) — A/B-measure on chip before
+enabling by default (the in-step-measurement rule: trace-visible copies can
+be overlapped time).
 """
 
 import functools
@@ -40,76 +45,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default scoped-vmem limit is 16M; the serving kernels request
+# more so the row bands (and with them the per-grid-step overhead
+# amortization) can grow.  Raised empirically — v5e accepts 32M.
+_VMEM_LIMIT = 32 * 1024 * 1024
+
 
 def _pick_band_rows(h: int, w: int, cin: int, cmid: int, dil: int = 1,
-                    budget_bytes: int = 12 * 1024 * 1024) -> int:
-    """Largest row-band R dividing h whose working set fits the budget
-    (Mosaic's scoped-vmem stack limit is 16M; the accounting below tracks
-    every live vector value, measured within ~20% of the compiler's
-    number on the layer1/layer2 shapes).  R >= dil so each interior band's
-    halo lies entirely in the neighbouring bands."""
+                    budget_bytes: int = _VMEM_LIMIT) -> int:
+    """Largest row-band R dividing h whose working set fits the budget.
+    The accounting tracks every live vector value plus Mosaic's
+    double-buffered input/output blocks (measured within ~25% of the
+    compiler's number on the layer1/layer2 shapes).  R must be a multiple
+    of dil so the halo blocks are block-aligned."""
+    lanepad = -(-cin // 128) * 128
+
     def band_bytes(r):
-        xin = 2 * (r + 2 * dil) * w * cin * 2  # scratch ref + loaded value
+        blocks = 2 * r * w * cin * 2 + 4 * dil * w * cin * 2  # dbuf in
+        xall = (r + 2 * dil) * w * cin * 2
         y1 = (r + 2 * dil) * w * cmid * 2
-        # conv2 g accumulator (f32, 3*cmid lane-padded) + shifted parts
+        # conv2 f32 accumulator g (3*cmid lane-padded) + shifted parts
         taps = r * w * (-(-3 * cmid // 128) * 128) * 4 + 2 * r * w * 128 * 4
         acc = r * w * cmid * 4
-        y3f32 = r * w * cin * 4           # conv3's f32 dot result
+        y3f32 = r * w * lanepad * 4       # conv3's f32 dot result
         out = 3 * r * w * cin * 2         # value + double-buffered blocks
-        return xin + y1 + taps + acc + y3f32 + out
+        return blocks + xall + y1 + taps + acc + y3f32 + out
 
-    # largest divisor of h whose band fits the budget; dil always divides
-    # the spatial sizes in practice (h is a power-of-two multiple of dil)
-    for r in sorted((d for d in range(dil, h + 1) if h % d == 0),
-                    reverse=True):
+    for r in sorted((d for d in range(dil, h + 1)
+                     if h % d == 0 and d % dil == 0), reverse=True):
         if band_bytes(r) <= budget_bytes:
             return r
     return dil
 
 
-def _kernel(x_hbm, w1, b1, w2, b2, w3, b3, out_ref, xin, sem,
-            *, rows, h, w, cin, cmid, n_bands, dil):
-    bi = pl.program_id(0)
+def _kernel(prev_tail, cur, next_head, w1, b1, w2, b2, w3, b3, out_ref,
+            *, rows, w, cin, cmid, n_bands, dil):
     ri = pl.program_id(1)
 
-    # --- haloed row-band DMA (HBM -> VMEM) ---
-    # xin holds ONLY image columns (full width w): the destination slice is
-    # sublane-aligned and the copy is dense.  Out-of-image halo ROWS (dil on
-    # each side) are zeroed by ref writes on dim 0 (untiled); the 3x3's
-    # column padding is applied at value level below.
-    def copy(src_rows_start, n, dst_start):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(src_rows_start, n), :, :],
-            xin.at[pl.ds(dst_start, n), :, :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-    def zero_rows(start):
-        for i in range(dil):
-            xin[start + i, :, :] = jnp.zeros((w, cin), xin.dtype)
-
-    if n_bands == 1:
-        zero_rows(0)
-        zero_rows(rows + dil)
-        copy(0, rows, dil)
-    else:
-        @pl.when(ri == 0)
-        def _():
-            zero_rows(0)
-            copy(0, rows + dil, dil)
-
-        @pl.when(ri == n_bands - 1)
-        def _():
-            zero_rows(rows + dil)
-            copy(h - rows - dil, rows + dil, 0)
-
-        @pl.when((ri > 0) & (ri < n_bands - 1))
-        def _():
-            copy(ri * rows - dil, rows + 2 * dil, 0)
-
-    xall = xin[...]  # (R+2*dil, W, Cin) bf16
+    # --- haloed band at value level (all blocks Mosaic-pipelined) ---
+    # out-of-image halo rows are the conv's zero padding; interior halo
+    # rows hold real neighbor-band values (index maps clamp at the edges,
+    # the clamped fetch is masked here)
+    top = jnp.where(ri == 0, jnp.zeros_like(prev_tail[0]), prev_tail[0])
+    bot = jnp.where(
+        ri == n_bands - 1, jnp.zeros_like(next_head[0]), next_head[0]
+    )
+    xall = jnp.concatenate([top, cur[0], bot], axis=0)  # (R+2*dil, W, Cin)
 
     # conv1 (1x1) + bias + relu on the haloed rows so the 3x3 sees its
     # halo.  Rounding matches fastpath._conv exactly: the f32-accumulated
@@ -202,8 +183,10 @@ def bottleneck_identity_pallas(
     assert w2.shape[:2] == (3, 3) and w3.shape[-1] == cin, (w2.shape, w3.shape)
     assert 1 <= dil <= min(h, w), (dil, h, w)
     rows = band_rows or _pick_band_rows(h, w, cin, cmid, dil)
-    assert h % rows == 0 and rows >= dil, (h, rows, dil)
+    assert h % rows == 0 and rows >= dil and rows % dil == 0, (h, rows, dil)
     n_bands = h // rows
+    nh = h // dil  # halo-block grid extent along rows
+    q = rows // dil
     interpret = jax.devices()[0].platform == "cpu"
 
     w1m = w1.reshape(cin, cmid)
@@ -215,11 +198,23 @@ def bottleneck_identity_pallas(
     b2r = b2.reshape(1, cmid).astype(jnp.float32)
     b3r = b3.reshape(1, cin).astype(jnp.float32)
 
+    halo = (1, dil, w, cin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b, n_bands),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # prev band's last dil rows / this band / next band's first dil
+            # rows — dil-row blocks of the same array, index maps clamped
+            pl.BlockSpec(
+                halo, lambda bi, ri, _q=q: (bi, jnp.maximum(ri * _q - 1, 0), 0, 0)
+            ),
+            pl.BlockSpec((1, rows, w, cin), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec(
+                halo,
+                lambda bi, ri, _q=q, _n=nh: (
+                    bi, jnp.minimum((ri + 1) * _q, _n - 1), 0, 0
+                ),
+            ),
             pl.BlockSpec((cin, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, cmid), lambda bi, ri: (0, 0)),
             pl.BlockSpec((3 * cmid, 3 * cmid), lambda bi, ri: (0, 0)),
@@ -230,17 +225,16 @@ def bottleneck_identity_pallas(
         out_specs=pl.BlockSpec(
             (1, rows, w, cin), lambda bi, ri: (bi, ri, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rows + 2 * dil, w, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel, rows=rows, h=h, w=w, cin=cin, cmid=cmid,
+            _kernel, rows=rows, w=w, cin=cin, cmid=cmid,
             n_bands=n_bands, dil=dil,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cin), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
-    )(x, w1m, b1r, w2m, b2r, w3m, b3r)
+    )(x, x, x, w1m, b1r, w2m, b2r, w3m, b3r)
