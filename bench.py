@@ -78,9 +78,10 @@ def main():
 
     # serving fast path (infer/fastpath.py): exact-math BN fold + fused dual
     # head, plus the int8 variant (compute-bound GEMMs on the MXU int8 mode;
-    # serving-mode mIoU gate: measured deltas vs standard — fastpath
-    # +0.0005, dynamic int8 +0.0021, calibrated int8 0.0006 (PERF_NOTES.md).
-    # Fall back to the plain apply if the fold ever rejects the config.
+    # serving-mode mIoU gate (tools/serving_gate.py, synthetic ckpt):
+    # measured deltas vs standard — fastpath 0.0046, calibrated int8 0.0048
+    # (docs/PERF_NOTES.md). Fall back to the plain apply if the fold ever
+    # rejects the config.
     modes, build_errors = [], []
     from uemda_tpu.infer.fastpath import build_fastpath
 
@@ -89,13 +90,15 @@ def main():
     except Exception as e:
         build_errors.append(f"fastpath build failed: {type(e).__name__}: {e}")
     if modes and on_tpu:
-        # exact-math fused identity blocks (ops/pallas_resblock.py) for the
-        # HBM-bound early stages; failure must not discard the plain fold
+        # exact-math fused stem conv+maxpool (ops/pallas_stem.py) — measured
+        # faster than XLA; the fused resblock stages measured slower and are
+        # not enabled (docs/PERF_NOTES.md A/B). Failure must not discard the
+        # plain fold.
         try:
             modes.append(
-                ("fastpath_bf16_fused",)
+                ("fastpath_bf16_fstem",)
                 + build_fastpath(model, variables, dtype=dtype,
-                                 fused_stages=(1, 2))
+                                 fused_stem=True)
             )
         except Exception as e:
             build_errors.append(f"fused fastpath build failed: {type(e).__name__}: {e}")
@@ -196,8 +199,8 @@ def main():
                     f"(vs_baseline {round(exact_tiles / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC), 4)}); "
                     if exact_mode else "no exact-math mode measured; "
                 )
-                + "measured mIoU delta vs standard: calibrated int8 "
-                "0.0006, dynamic int8 0.0021 — docs/PERF_NOTES.md"
+                + "serving_gate mIoU delta vs standard (synthetic ckpt): "
+                "fastpath 0.0046, calibrated int8 0.0048 — docs/PERF_NOTES.md"
                 + ("; " + "; ".join(build_errors) if build_errors else ""),
             }
         )

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused-stages", type=str, default="")
     ap.add_argument("--fused-stem", action="store_true")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma list of prefixes to run (delta_ms is only "
+                         "meaningful vs the previous prefix in the list)")
     args = ap.parse_args()
 
     import jax
@@ -67,21 +70,18 @@ def main():
         acc = fp._conv_any(feat, g_params["last_feat"])
         if upto == "headgemm":
             return acc
-        pooled = {sc: fp.adaptive_avg_pool(feat, sc)
-                  for sc in meta["pool_scales"]}
+        pooled = fp.adaptive_avg_pool_multi(feat, meta["pool_scales"])
+        if upto == "pools":
+            return acc + sum(jnp.sum(p) for p in pooled.values())
         both = {
             sc: jax.nn.relu(fp._conv_any(pooled[sc], g_params["ppm_scales"][sc]))
             for sc in meta["pool_scales"]
         }
-        us = []
-        for hi in range(g_size):
-            u = jnp.concatenate([
-                fp.resize_bilinear(both[sc][..., hi * 512:(hi + 1) * 512],
-                                   (h, w), align_corners=False)
-                for sc in meta["pool_scales"]
-            ], axis=-1)
-            us.append(fp._conv_any(u, g_params["last_pool"][hi]))
-        acc = jax.nn.relu(acc + jnp.concatenate(us, axis=-1))
+        if upto == "both":
+            return acc + sum(jnp.sum(p) for p in both.values())
+        us = fp._ppm_pooled_heads(both, g_params, g_size,
+                                  meta["pool_scales"], h, w, feat.dtype)
+        acc = jax.nn.relu(acc + us)
         if upto == "ppm":
             return acc
         logits = [
@@ -125,7 +125,11 @@ def main():
         return head_prefix(y, params, upto)
 
     prefixes = ["stem", "layer1", "layer2", "layer3", "layer4",
-                "insnorm", "headgemm", "ppm", "logits", "full"]
+                "insnorm", "headgemm", "pools", "both", "ppm",
+                "logits", "full"]
+    if args.only:
+        only = set(args.only.split(","))
+        prefixes = [p for p in prefixes if p in only]
     r = np.random.default_rng(0)
     x0 = jnp.asarray(r.normal(size=(args.batch, 512, 512, 3)), dtype)
 

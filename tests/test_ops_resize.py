@@ -52,3 +52,18 @@ def test_resize_identity():
     x = _rand((1, 8, 8, 3))
     got = np.asarray(resize_bilinear(jnp.asarray(x), (8, 8)))
     np.testing.assert_array_equal(got, x)
+
+
+def test_adaptive_avg_pool_multi_matches_per_scale():
+    """adaptive_avg_pool_multi must equal per-scale adaptive_avg_pool
+    exactly (same matrices, same accumulation — just one read of x)."""
+    from uemda_tpu.ops.resize import adaptive_avg_pool_multi
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    scales = (1, 2, 3, 6)
+    multi = adaptive_avg_pool_multi(x, scales)
+    for s in scales:
+        np.testing.assert_allclose(
+            np.asarray(multi[s]), np.asarray(adaptive_avg_pool(x, s)),
+            atol=1e-6, rtol=1e-6)

@@ -20,6 +20,12 @@ program for inference:
   splits (exactly) into conv(feat)·W_feat summed with conv(pooled-branch
   concat)·W_pool, with the two heads' W_feat stacked into one 2048->1024
   GEMM so feat is read once.
+* **Low-rank pooled branch** — the pooled-branch conv is further
+  restructured through the upsample's separable linear map: tap GEMMs on
+  the tiny (sc, sc) pooled maps followed by shifted separable upsample
+  matmuls (:func:`_ppm_pooled_heads`), eliminating the full-resolution
+  pooled-branch 3x3 convs, all materialized upsampled maps and the
+  2048-channel concats.
 * **Instance norm without f32 materialization** — statistics accumulate in
   f32 inside the reduction; the activation tensor stays in compute dtype.
 * **Space-to-batch dilated stage** (optional) — blocks 1+ of a dilate-2
@@ -50,9 +56,109 @@ from uemda_tpu.models.resnet import (
     _max_pool_3x3_s2,
     stage_plan,
 )
-from uemda_tpu.ops.resize import adaptive_avg_pool, resize_bilinear
+from uemda_tpu.ops.resize import (
+    _interp_matrix,
+    adaptive_avg_pool_multi,
+    resize_bilinear,
+)
 
 DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _shifted_interp_cat(in_size: int, out_size: int) -> np.ndarray:
+    """(out, 3*in) matrix stacking the three conv-tap-shifted row blocks of
+    the align_corners=False bilinear upsample matrix M (out, in):
+    ``U[o, t*in + i] = M[o + t - 1, i]`` and zero where ``o + t - 1`` falls
+    outside — exactly the 3x3 conv's SAME zero padding. Lets
+    ``Conv3x3(Upsample(z))`` run as tap GEMMs on the tiny pooled map plus
+    two separable matmuls (:func:`_ppm_pooled_heads`)."""
+    m = _interp_matrix(in_size, out_size, False)
+    u = np.zeros((out_size, 3 * in_size), np.float32)
+    for t in range(3):
+        src = np.arange(out_size) + t - 1
+        ok = (src >= 0) & (src < out_size)
+        u[ok, t * in_size:(t + 1) * in_size] = m[src[ok]]
+    return u
+
+
+@functools.lru_cache(maxsize=32)
+def _pooled_upsample_matrix(scales: tuple, out_h: int, out_w: int) -> np.ndarray:
+    """(out_h*out_w, sum_sc 9*sc*sc) combined conv-tap x bilinear-upsample
+    operator: column block for scale sc holds, at column
+    ``((i*sc + j)*3 + ty)*3 + tx``, the weight ``Uh[h, ty*sc+i] *
+    Uw[w, tx*sc+j]`` (tap-shifted separable upsample). One GEMM with this
+    matrix maps the tap-GEMM outputs of every scale straight to the
+    full-resolution pooled-branch sum (see _ppm_pooled_heads)."""
+    cols = []
+    for sc in scales:
+        uh = _shifted_interp_cat(sc, out_h).reshape(out_h, 3, sc)  # (h,ty,i)
+        uw = _shifted_interp_cat(sc, out_w).reshape(out_w, 3, sc)  # (w,tx,j)
+        blk = np.einsum("hyi,wxj->hwijyx", uh, uw)
+        cols.append(blk.reshape(out_h * out_w, sc * sc * 9))
+    return np.ascontiguousarray(np.concatenate(cols, 1))
+
+
+def _ppm_pooled_heads(both, g_params, g_size, pool_scales, h, w, dtype):
+    """Pooled branch of the PPM head group, restructured (exact math).
+
+    The reference concatenates the bilinearly-upsampled pyramid branches
+    with ``feat`` and runs one 3x3 conv (``uemda/models/Encoder.py:16-33``).
+    The fused head already splits that conv into a feat GEMM + a pooled-
+    branch conv; here the pooled-branch conv is restructured further: by
+    linearity ``Conv3x3(concat_sc Up_sc(z_sc)) = sum_sc Conv3x3(Up_sc(z_sc))``
+    and, the upsample being a separable linear map, each term is
+    ``sum_taps U_ty (z_sc @ W[ty,tx]) U_tx^T`` with tap-shifted upsample
+    matrices (zero-padded rows = the conv's SAME padding). Concretely: nine
+    512x512 tap GEMMs per (head, scale) on the TINY (B, sc, sc, 512) pooled
+    maps, then ONE (h*w, sum 9*sc^2) GEMM (_pooled_upsample_matrix) maps
+    everything straight to the full-res pooled-branch output of ALL heads —
+    no full-resolution intermediate exists. Removes the per-head full-res
+    3x3 conv (~19 GFLOP/tile), eight materialized upsampled maps and two
+    2048-channel concats (326 -> ~15 us/tile, runs/stage_breakdown.py).
+
+    Returns one (B, h, w, g_size*C_out) array, heads stacked on channels
+    (same order as the stacked last_feat GEMM's output).
+    """
+    ts = []
+    for hi in range(g_size):
+        per_scale = []
+        for si, sc in enumerate(pool_scales):
+            z = both[sc][..., hi * 512:(hi + 1) * 512]
+            wt = g_params["pool_taps"][hi][si]          # (512, 9*C_out)
+            co = wt.shape[1] // 9
+            b, s = z.shape[0], z.shape[1]
+            t = jnp.einsum("bijc,ck->bijk", z, wt.astype(z.dtype),
+                           preferred_element_type=jnp.float32)
+            # (b, i, j, ty, tx, o) -> (b, (i j ty tx), o): pure reshape,
+            # matching _pooled_upsample_matrix's column order
+            per_scale.append(t.reshape(b, s * s * 9, co))
+        ts.append(jnp.concatenate(per_scale, axis=1))   # (b, K, C_out)
+    t_all = jnp.concatenate(ts, axis=-1).astype(dtype)  # (b, K, g*C_out)
+    bm = _pooled_upsample_matrix(tuple(pool_scales), h, w)
+    if dtype == jnp.bfloat16:
+        # keep the old resize path's f32 interpolation-weight precision at
+        # bf16 GEMM speed: split bm into two exact bf16 summands (hi = bf16
+        # round, lo = bf16(residual)) — two MXU-native passes, products
+        # exact, f32 accumulation
+        import ml_dtypes
+
+        hi_np = bm.astype(ml_dtypes.bfloat16)
+        lo_np = (bm - hi_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        hi, lo = jnp.asarray(hi_np), jnp.asarray(lo_np)
+        out = (
+            jnp.einsum("pk,bko->bpo", hi, t_all,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("pk,bko->bpo", lo, t_all,
+                         preferred_element_type=jnp.float32)
+        )
+    else:
+        out = jnp.einsum("pk,bko->bpo", jnp.asarray(bm, dtype), t_all,
+                         preferred_element_type=jnp.float32)
+    return out.reshape(t_all.shape[0], h, w, t_all.shape[-1]).astype(dtype)
 
 
 def _fold(conv_p: Dict[str, Any], bn_p: Dict[str, Any], bn_s: Dict[str, Any]):
@@ -111,7 +217,9 @@ def _conv(x, w, b, stride=1, dilation=1, groups=1, pad: Optional[Tuple] = None):
 
 
 # instance norm: the model's formulation already avoids materializing an
-# f32 copy of the activation (models/deeplabv2.py) — share it
+# f32 copy of the activation (models/deeplabv2.py) and measures 13 us/tile
+# on the serving feat — a one-read Pallas kernel (ops/pallas_insnorm.py)
+# measured 13.7 us/tile, so XLA's fusion wins here and is kept.
 _instance_norm_fast = instance_norm
 
 
@@ -344,8 +452,17 @@ def build_serving_params(
             np.concatenate([w[:, :, :fc] for w, _ in lasts], -1),
             np.concatenate([b for _, b in lasts], -1),
         )
-        g["last_pool"] = [
-            mk(w[:, :, fc:], np.zeros(w.shape[-1], np.float32))
+        # pooled branch of each head's 3x3 concat conv, tap-packed: the
+        # (3,3,512,512) per-scale kernel slice becomes a (512, 9*512) GEMM
+        # weight applied on the TINY (B,sc,sc,512) pooled map BEFORE
+        # upsampling (see _ppm_pooled_heads) — k index = (ty*3+tx)*512+o
+        g["pool_taps"] = [
+            [jnp.asarray(
+                np.ascontiguousarray(
+                    w[:, :, fc + si * 512:fc + (si + 1) * 512, :]
+                    .transpose(2, 0, 1, 3)).reshape(512, 9 * w.shape[-1]),
+                dtype)
+             for si in range(len(cfg.ppm.pool_scales))]
             for w, _ in lasts
         ]
         g["classifier"] = [
@@ -520,28 +637,35 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
             # fused group PPM head
             h, w = feat.shape[1], feat.shape[2]
             acc = _conv_any(feat, g_params["last_feat"])  # all heads' 512s
-            pooled = {sc: adaptive_avg_pool(feat, sc)
-                      for sc in meta["pool_scales"]}
+            pooled = adaptive_avg_pool_multi(feat, meta["pool_scales"])
             both = {
                 sc: jax.nn.relu(_conv_any(pooled[sc], g_params["ppm_scales"][sc]))
                 for sc in meta["pool_scales"]
             }
-            us = []
-            for hi in range(g_size):
-                u = jnp.concatenate([
-                    resize_bilinear(both[sc][..., hi * 512:(hi + 1) * 512],
-                                    (h, w), align_corners=False)
-                    for sc in meta["pool_scales"]
-                ], axis=-1)
-                us.append(_conv_any(u, g_params["last_pool"][hi]))
-            acc = jax.nn.relu(acc + jnp.concatenate(us, axis=-1))
+            us = _ppm_pooled_heads(both, g_params, g_size,
+                                   meta["pool_scales"], h, w, feat.dtype)
+            acc = jax.nn.relu(acc + us)
             head_logits += [
                 _conv(acc[..., hi * 512:(hi + 1) * 512],
                       **g_params["classifier"][hi])
                 for hi in range(g_size)
             ]
 
-    # eval tail (Encoder.py:152-155): mean of per-head softmax at input res
+    # eval tail (Encoder.py:152-155): mean of per-head softmax at input res.
+    # Heads sharing a spatial shape upsample through ONE resize chain (the
+    # resize is per-channel linear — concat then slice is exact) so the
+    # full-res f32 intermediates are built once, not per head.
+    if len(head_logits) > 1 and all(
+        l.shape[1:3] == head_logits[0].shape[1:3] for l in head_logits
+    ):
+        nc = head_logits[0].shape[-1]
+        up = resize_bilinear(jnp.concatenate(head_logits, -1), in_hw,
+                             align_corners=True)
+        probs = sum(
+            jax.nn.softmax(up[..., i * nc:(i + 1) * nc], axis=-1)
+            for i in range(len(head_logits))
+        )
+        return probs / len(head_logits)
     probs = None
     for logits in head_logits:
         p = jax.nn.softmax(
@@ -689,8 +813,9 @@ def build_fastpath(
 ) -> Tuple["FastpathModel", Dict[str, Any]]:
     """CLI-facing entry: fold ``variables`` and return ``(model-like,
     serving_params)`` ready for ``make_predictor`` / ``evaluate_dataset``.
-    ``int8=True`` additionally quantizes the compute-bound GEMMs (both head
-    convs + stage-3/4 3x3s) — the measured-fastest serving mode; verify mIoU
+    ``int8=True`` additionally quantizes the compute-bound GEMMs (the head
+    feat GEMM + stage-3/4 3x3s; the restructured pooled branch is a few
+    MFLOP and stays bf16) — the measured-fastest serving mode; verify mIoU
     with tools/serving_gate.py before serving int8.
     ``calibration_batches``: optional iterable of normalized (B, H, W, 3)
     arrays — embeds static activation scales (:func:`calibrate_act_scales`)

@@ -102,6 +102,55 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return _apply_separable(x, mh, mw)
 
 
+@functools.lru_cache(maxsize=32)
+def _multi_pool_matrix(h_in: int, w_in: int, scales: tuple):
+    """(sum_s s^2, h_in*w_in) 0/1 bin-indicator matrix + (sum_s s^2,) f32
+    reciprocal bin sizes + per-scale row offsets, for every pyramid scale
+    at once. The indicator entries are EXACT in bf16, so the pooling GEMM
+    runs native bf16 on the MXU; the 1/count scaling is a tiny f32
+    elementwise pass on the pooled output."""
+    rows = sum(s * s for s in scales)
+    n = np.zeros((rows, h_in, w_in), np.float32)
+    dinv = np.zeros((rows,), np.float32)
+    offs, off = [], 0
+    for s in scales:
+        for sh in range(s):
+            hlo, hhi = (sh * h_in) // s, -(-((sh + 1) * h_in) // s)
+            for sw in range(s):
+                wlo, whi = (sw * w_in) // s, -(-((sw + 1) * w_in) // s)
+                r = off + sh * s + sw
+                n[r, hlo:hhi, wlo:whi] = 1.0
+                dinv[r] = 1.0 / ((hhi - hlo) * (whi - wlo))
+        offs.append(off)
+        off += s * s
+    return n.reshape(rows, h_in * w_in), dinv, tuple(offs)
+
+
+def adaptive_avg_pool_multi(x: jnp.ndarray, scales) -> dict:
+    """All PPM pyramid scales with ONE native-dtype read of ``x``.
+
+    ``adaptive_avg_pool`` per scale casts the full (B, H, W, C) map to f32
+    and contracts it once per scale; on the serving feat that measured
+    68-83 us/tile (runs/stage_breakdown.py). Here the 2-D pooling operator
+    for EVERY scale factors into a single (sum_s s^2, H*W) 0/1 indicator
+    GEMM (exact in bf16 — products of exact values, f32 accumulation, same
+    math as the f32 path up to summation order) followed by a 1/count
+    scale on the tiny pooled output: one HBM read, one MXU-native GEMM."""
+    scales = tuple(int(s) for s in scales)
+    b, h_in, w_in, c = x.shape
+    n, dinv, offs = _multi_pool_matrix(h_in, w_in, scales)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    t = jnp.einsum(
+        "ph,bhc->bpc", jnp.asarray(n, x.dtype), x.reshape(b, h_in * w_in, c),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    t = t * jnp.asarray(dinv)[None, :, None]
+    return {
+        s: t[:, off:off + s * s].reshape(b, s, s, c).astype(x.dtype)
+        for s, off in zip(scales, offs)
+    }
+
+
 def upsample_logits(logits: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
     """Head-logit upsampling: bilinear, align_corners=True (reference
     ``Encoder.py:141-142`` / ``tools.py:249-250``)."""
