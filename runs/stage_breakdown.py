@@ -55,6 +55,7 @@ def main():
     meta, params = fp.build_serving_params(
         model, variables, dtype=dtype, fused_stages=fused,
         fused_stem=args.fused_stem,
+        s2b_layer4=False,  # match build_fastpath's production default
     )
 
     def head_prefix(feat, params, upto: str):

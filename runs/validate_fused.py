@@ -83,6 +83,10 @@ def main():
         if name == "plain":
             ref = o
             continue
+        if ref is None:  # plain build/apply failed above — no baseline
+            print(json.dumps({"metric": f"fused_parity_{name}",
+                              "error": "no plain baseline"}))
+            continue
         maxd = float(np.abs(o - ref).max())
         agree = float((o.argmax(-1) == ref.argmax(-1)).mean())
         print(json.dumps({

@@ -64,9 +64,21 @@ def test_two_process_cpu_training_matches_single_process():
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        # kill BOTH workers before failing — orphaned spinning processes
+        # starve every later compile on this 1-core host
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        raise AssertionError(
+            "multihost worker hung (540s); partial output:\n"
+            + "\n---\n".join(o or "" for o in outs)
+        )
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 

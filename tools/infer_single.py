@@ -68,7 +68,11 @@ def main():
     if args.fastpath:
         from uemda_tpu.infer.fastpath import build_fastpath, check_fastpath_tile
 
-        check_fastpath_tile(cfg.crop)
+        # the forward tile is cfg.crop when sliding/rastering, else the
+        # image's own dims (--slide 0) — guard the one actually used
+        check_fastpath_tile(
+            cfg.crop if (args.slide or args.raster) else img.shape[1:3]
+        )
 
         model, variables = build_fastpath(model, variables, int8=bool(args.int8))
     elif args.int8:

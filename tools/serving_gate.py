@@ -31,17 +31,21 @@ from uemda_tpu.utils.runtime import enable_compile_cache
 enable_compile_cache()
 
 
-def gate_checkpoint(cfg, ckpt_path, modes, batch_size, calib_batches, test=False):
+def gate_checkpoint(cfg, ckpt_path, modes, batch_size, calib_batches,
+                    test=False, model=None, init_vars=None):
     """Evaluate every serving mode on one checkpoint.
 
+    ``model``/``init_vars`` let a multi-checkpoint caller pay the model
+    build + init once (run_gate does).
     Returns {mode: {"miou": float, "iou": [..], "class_names": [..]}}."""
     from uemda_tpu.datasets.base import SegDataset
     from uemda_tpu.infer.evaluate import evaluate_dataset
     from uemda_tpu.train.checkpoints import load_checkpoint
     from uemda_tpu.train.loop import build_model, init_variables
 
-    model = build_model(cfg)
-    variables = init_variables(model, cfg)
+    if model is None:
+        model = build_model(cfg)
+    variables = init_variables(model, cfg) if init_vars is None else init_vars
     if ckpt_path.endswith((".pth", ".pt")):
         from uemda_tpu.models.port_torch import load_torch_state_dict, port_deeplabv2
 
@@ -135,10 +139,15 @@ def run_gate(config_path, ckpt_paths, modes=None, batch_size=None,
         modes = ["standard"] + modes
         print(json.dumps({"note": "added 'standard' baseline to --modes"}))
 
+    from uemda_tpu.train.loop import build_model, init_variables
+
+    model = build_model(cfg)
+    init_vars = init_variables(model, cfg)
     report, ok = {}, True
     for ckpt in ckpt_paths:
         results = gate_checkpoint(
-            cfg, ckpt, modes, batch_size, calib_batches, test=test
+            cfg, ckpt, modes, batch_size, calib_batches, test=test,
+            model=model, init_vars=init_vars,
         )
         deltas = deltas_vs_standard(results)
         ckpt_ok = all(

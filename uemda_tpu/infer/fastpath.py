@@ -43,6 +43,7 @@ Reference parity surface: eval forward ``Encoder.py:144-155`` (averaged
 softmax of twin heads upsampled with align_corners=True).
 """
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -63,9 +64,6 @@ from uemda_tpu.ops.resize import (
 )
 
 DIMS = ("NHWC", "HWIO", "NHWC")
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=128)
@@ -718,8 +716,6 @@ def calibrate_act_scales(
     Sites are matched to entries by forward-visit order, which equals the
     params build/walk order (validated end-to-end by the calibration
     parity test — a mismatch would corrupt the scales and the outputs)."""
-    import functools
-
     # strip any existing static scales so RE-calibration (e.g. for a new
     # target domain) records fresh dynamic amaxes instead of no-oping;
     # keep the originals so an empty ``batches`` cannot silently discard a
@@ -844,8 +840,6 @@ def make_serving_fn(
     """Convenience: returns ``(apply_fn, params)`` where
     ``apply_fn(params, images)`` is the folded eval forward (drop-in for
     ``lambda v, x: model.apply(v, x, train=False)``)."""
-    import functools
-
     meta, params = build_serving_params(
         model, variables, dtype=dtype, s2b_layer4=s2b_layer4,
         heads_int8=heads_int8, int8_stages=int8_stages,

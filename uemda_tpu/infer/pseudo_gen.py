@@ -26,6 +26,42 @@ from uemda_tpu.utils.viz import VisualizeSegmm
 
 
 def generate_pseudo_labels(
+    model, variables, dataset: SegDataset, mean, std, **kwargs
+) -> Dict[str, np.ndarray]:
+    """Multi-host-aware entry — see :func:`_generate_pseudo_labels_local`
+    for the sweep itself and all keyword arguments.
+
+    Multi-host runs: the sweep executes on PROCESS 0 ONLY (device_batches +
+    the host-side prob readback are process-local; a cross-host mesh would
+    assemble duplicated batches and yield non-addressable outputs), with a
+    barrier so every process sees the written labels (shared filesystem)
+    before the stage-3 loader starts. The release barrier runs in a
+    ``finally`` so a sweep failure surfaces as the real exception on every
+    process instead of a distributed heartbeat timeout."""
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        from uemda_tpu.parallel.multihost import fetch_local, is_main_process
+
+        if not is_main_process():
+            multihost_utils.sync_global_devices("uemda_pseudo_gen")
+            return {}
+        try:
+            kwargs["mesh"] = None  # process-local sweep on the local chips
+            return _generate_pseudo_labels_local(
+                model, fetch_local(variables), dataset, mean, std, **kwargs
+            )
+        finally:
+            # release the non-main processes waiting at the entry barrier
+            multihost_utils.sync_global_devices("uemda_pseudo_gen")
+    return _generate_pseudo_labels_local(
+        model, variables, dataset, mean, std, **kwargs
+    )
+
+
+def _generate_pseudo_labels_local(
     model,
     variables,
     dataset: SegDataset,
@@ -55,25 +91,7 @@ def generate_pseudo_labels(
     (infer/fastpath.py, exact math) for the sweep — worth it because this
     pass runs slide + 8 TTA views over the full target split; logs and
     falls back to the standard apply when the fold is unusable (odd tile
-    sizes, unexpected checkpoint structure).
-
-    Multi-host runs: the sweep executes on PROCESS 0 ONLY (device_batches +
-    the host-side prob readback are process-local; a cross-host mesh would
-    assemble duplicated batches and yield non-addressable outputs), with a
-    barrier so every process sees the written labels (shared filesystem)
-    before the stage-3 loader starts."""
-    import jax as _jax
-
-    if _jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        from uemda_tpu.parallel.multihost import fetch_local, is_main_process
-
-        mesh = None  # process-local sweep on the local chips
-        if not is_main_process():
-            multihost_utils.sync_global_devices("uemda_pseudo_gen")
-            return {}
-        variables = fetch_local(variables)
+    sizes, unexpected checkpoint structure)."""
     meta = dataset.meta
     if fastpath:
         try:
@@ -130,9 +148,4 @@ def generate_pseudo_labels(
             f"pseudo labels generated for {len(dataset)} images"
             + (f" -> {out_dir}" if out_dir else " (in memory)")
         )
-    if _jax.process_count() > 1:
-        # release the non-main processes waiting at the entry barrier
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("uemda_pseudo_gen")
     return result
