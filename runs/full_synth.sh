@@ -1,9 +1,11 @@
 #!/bin/bash
 # Schedule-scale synthetic pipeline on the real TPU (VERDICT r1 item 5):
 # reference step counts 4000/6000/6000 @ batch 8, 256² tiles, with
-#   * 3 GENE_EVERY pseudo-label regenerations inside stage 3,
 #   * a hard kill + `--resume auto` mid-stage-3 (exact-resume proof),
 #   * the hardened serving gate across all three stage-best checkpoints.
+# (train_ssl_uem generates pseudo labels once, like the reference — its
+# in-loop GENE_EVERY regen is commented out upstream at train_ssl_uem.py:176;
+# the chunked regen cadence is recorded separately with train_ssl_mix.)
 # Trainer stages retry with `--resume auto` when the axon tunnel/device
 # runtime dies mid-run (the loop watchdog exits fast with a resume hint);
 # one-shot tools (init_prototypes) retry without it.
