@@ -78,10 +78,11 @@ def main():
 
     # serving fast path (infer/fastpath.py): exact-math BN fold + fused dual
     # head, plus the int8 variant (compute-bound GEMMs on the MXU int8 mode;
-    # serving-mode mIoU gate (tools/serving_gate.py, synthetic ckpt):
-    # measured deltas vs standard — fastpath 0.0046, calibrated int8 0.0048
-    # (docs/PERF_NOTES.md). Fall back to the plain apply if the fold ever
-    # rejects the config.
+    # serving-mode mIoU gate (tools/serving_gate.py over the three
+    # schedule-scale trained checkpoints, runs/tpu_results/
+    # full_synth_schedule.md): worst deltas vs standard — fastpath 0.00065,
+    # calibrated int8 0.00141. Fall back to the plain apply if the fold
+    # ever rejects the config.
     modes, build_errors = [], []
     from uemda_tpu.infer.fastpath import build_fastpath
 
@@ -199,8 +200,9 @@ def main():
                     f"(vs_baseline {round(exact_tiles / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC), 4)}); "
                     if exact_mode else "no exact-math mode measured; "
                 )
-                + "serving_gate mIoU delta vs standard (synthetic ckpt): "
-                "fastpath 0.0046, calibrated int8 0.0048 — docs/PERF_NOTES.md"
+                + "serving_gate worst mIoU delta vs standard over 3 trained "
+                "ckpts: fastpath 0.00065, calibrated int8 0.00141 — "
+                "runs/tpu_results/full_synth_schedule.md"
                 + ("; " + "; ".join(build_errors) if build_errors else ""),
             }
         )

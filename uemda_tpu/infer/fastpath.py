@@ -656,6 +656,11 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
     if len(head_logits) > 1 and all(
         l.shape[1:3] == head_logits[0].shape[1:3] for l in head_logits
     ):
+        # NOTE measured alternatives (runs tail A/B, docs/PERF_NOTES.md
+        # round 2): a bf16 hi/lo 2-pass resize and a single reshaped
+        # (g, nc) softmax-mean BOTH measured slower than this f32-HIGHEST
+        # resize + per-head sliced softmaxes (82.5 vs up to 127 us/tile) —
+        # XLA fuses this form best; don't "optimize" it without an A/B.
         nc = head_logits[0].shape[-1]
         up = resize_bilinear(jnp.concatenate(head_logits, -1), in_hw,
                              align_corners=True)
