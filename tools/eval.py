@@ -43,6 +43,10 @@ def main():
                         help="with --fastpath --int8: calibrate static int8 "
                         "activation scales on this many eval batches (faster "
                         "serving than dynamic per-tensor amax)")
+    parser.add_argument("--int8-stages", type=str, default="",
+                        help="with --fastpath --int8: comma list of backbone "
+                        "stages to quantize (default 3,4; 1,2,3,4 is fastest "
+                        "with --calib-batches — gate first, serving_gate.py)")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path)
@@ -85,8 +89,11 @@ def main():
                 dataset, args.batch_size or split.batch_size,
                 split.mean, split.std, args.calib_batches, tile=cfg.crop,
             )
+        stages = (tuple(int(t) for t in args.int8_stages.split(","))
+                  if args.int8_stages else None)
         model, variables = build_fastpath(
-            model, variables, int8=bool(args.int8), calibration_batches=calib
+            model, variables, int8=bool(args.int8),
+            calibration_batches=calib, int8_stages=stages,
         )
     elif args.int8:
         from uemda_tpu.infer.quant import Int8Model

@@ -67,14 +67,20 @@ def gate_checkpoint(cfg, ckpt_path, modes, batch_size, calib_batches,
     def build(mode):
         if mode == "standard":
             return model, variables
-        if mode in ("fastpath", "fastpath_int8", "fastpath_int8cal"):
+        if mode in ("fastpath", "fastpath_int8", "fastpath_int8cal",
+                    "fastpath_int8cal_all"):
             from uemda_tpu.infer.fastpath import (
                 build_fastpath,
                 calibrate_act_scales,
             )
 
-            m, p = build_fastpath(model, variables, int8="int8" in mode)
-            if mode == "fastpath_int8cal":
+            m, p = build_fastpath(
+                model, variables, int8="int8" in mode,
+                # _all: calibrated int8 on EVERY backbone stage (the
+                # measured-fastest serving mode, build_fastpath docstring)
+                int8_stages=(1, 2, 3, 4) if mode.endswith("_all") else None,
+            )
+            if mode.startswith("fastpath_int8cal"):
                 p = calibrate_act_scales(m.meta, p, calib(calib_batches))
             return m, p
         if mode == "int8":
@@ -132,7 +138,7 @@ def run_gate(config_path, ckpt_paths, modes=None, batch_size=None,
     cfg = load_config(config_path)
     modes = list(modes or
                  ["standard", "fastpath", "fastpath_int8", "fastpath_int8cal",
-                  "int8"])
+                  "fastpath_int8cal_all", "int8"])
     if "standard" not in modes:
         # the gate is a comparison — nothing to gate without the baseline,
         # and exiting 0 would read as "quality verified"
@@ -180,10 +186,12 @@ def main():
                         help="use TEST split instead of EVAL")
     parser.add_argument("--modes", type=str,
                         default="standard,fastpath,fastpath_int8,"
-                        "fastpath_int8cal,int8",
+                        "fastpath_int8cal,fastpath_int8cal_all,int8",
                         help="comma list: standard,fastpath,fastpath_int8,"
                         "fastpath_int8cal (static activation scales "
-                        "calibrated on --calib-batches of this split),int8")
+                        "calibrated on --calib-batches of this split),"
+                        "fastpath_int8cal_all (calibrated int8 on every "
+                        "backbone stage — fastest),int8")
     parser.add_argument("--calib-batches", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--tolerance", type=float, default=0.005,

@@ -811,20 +811,28 @@ def build_fastpath(
     calibration_batches=None,
     fused_stages: Tuple[int, ...] = (),
     fused_stem: bool = False,
+    int8_stages: Optional[Tuple[int, ...]] = None,
 ) -> Tuple["FastpathModel", Dict[str, Any]]:
     """CLI-facing entry: fold ``variables`` and return ``(model-like,
     serving_params)`` ready for ``make_predictor`` / ``evaluate_dataset``.
-    ``int8=True`` additionally quantizes the compute-bound GEMMs (the head
-    feat GEMM + stage-3/4 3x3s; the restructured pooled branch is a few
-    MFLOP and stays bf16) — the measured-fastest serving mode; verify mIoU
-    with tools/serving_gate.py before serving int8.
+    ``int8=True`` additionally quantizes the head feat GEMM plus the 3x3s
+    of ``int8_stages`` (default stages 3-4; the restructured pooled branch
+    is a few MFLOP and stays bf16) — verify mIoU with tools/serving_gate.py
+    before serving int8. With CALIBRATED static scales, extending to every
+    stage (``int8_stages=(1, 2, 3, 4)``) measured fastest on v5e — the
+    quantize fuses into each producer, so the HBM-bound early stages read
+    int8 activations (1286 -> 1326 tiles/s; gated at <=0.0012 mIoU on the
+    three schedule-scale checkpoints, docs/PERF_NOTES.md). Dynamic scales
+    on early stages are a per-conv amax barrier — keep the default there.
     ``calibration_batches``: optional iterable of normalized (B, H, W, 3)
     arrays — embeds static activation scales (:func:`calibrate_act_scales`)
     so serving skips the per-layer dynamic amax reductions."""
+    if int8_stages is None:
+        int8_stages = (3, 4)
     meta, params = build_serving_params(
         model, variables, dtype=dtype,
         s2b_layer4=False,  # measured slower on v5e (docs/PERF_NOTES.md)
-        heads_int8=int8, int8_stages=(3, 4) if int8 else (),
+        heads_int8=int8, int8_stages=int8_stages if int8 else (),
         fused_stages=fused_stages, fused_stem=fused_stem,
     )
     if int8 and calibration_batches is not None:
