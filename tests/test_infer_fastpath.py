@@ -75,6 +75,21 @@ def test_fastpath_int8_heads_and_stages_close():
     assert np.abs(got - ref).mean() < 0.02
 
 
+def test_fastpath_int8_all_stages_close():
+    """int8 on EVERY backbone stage (the serving mode behind
+    --int8-stages 1,2,3,4 / serving_gate's fastpath_int8cal_all) stays a
+    valid, close distribution; quality is gated on real checkpoints by
+    tools/serving_gate.py (runs/tpu_results/full_synth_schedule.md)."""
+    model, variables, x, ref = _init("resnet18", hw=64, seed=5)
+    fn, params = make_serving_fn(
+        model, variables, dtype=jnp.float32, heads_int8=True,
+        int8_stages=(1, 2, 3, 4),
+    )
+    got = np.asarray(jax.jit(fn)(params, x))
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+    assert np.abs(got - ref).mean() < 0.03
+
+
 def test_fastpath_aspp_head_parity():
     model, variables, x, ref = _init("resnet18", hw=32, seed=9, use_ppm=False)
     fn, params = make_serving_fn(model, variables, dtype=jnp.float32)
