@@ -37,7 +37,8 @@ def _bench(fn, *args, reps=3):
 
 
 def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
-               tile=512, fastpath=False, fused_stages=(), fused_stem=False):
+               tile=512, fastpath=False, fused_stages=(), fused_stem=False,
+               int8_stages=None, calibrate=False):
     import jax
     import jax.numpy as jnp
 
@@ -47,9 +48,12 @@ def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
     if fastpath:
         from uemda_tpu.infer.fastpath import build_fastpath
 
+        calib = ([jax.random.normal(jax.random.key(3), (8, tile, tile, 3),
+                                    dtype)] if calibrate else None)
         m, v = build_fastpath(model, variables, dtype=dtype, int8=int8,
                               fused_stages=tuple(fused_stages),
-                              fused_stem=fused_stem)
+                              fused_stem=fused_stem, int8_stages=int8_stages,
+                              calibration_batches=calib)
     else:
         v = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
@@ -196,7 +200,8 @@ def main():
     parser = argparse.ArgumentParser(description="Extended benchmarks.")
     parser.add_argument("--modes", type=str,
                         default="eval_bf16,eval_int8,eval_fastpath,"
-                        "eval_fastpath_int8,train,raster,e2e_serve",
+                        "eval_fastpath_int8,eval_fastpath_int8cal_all,"
+                        "train,raster,e2e_serve",
                         help="comma list: eval_bf16,eval_f32,eval_int8,"
                         "eval_fastpath,eval_fastpath_int8,train,raster,"
                         "e2e_serve (host-inclusive decode->infer->write)")
@@ -287,6 +292,13 @@ def main():
         emit("eval_fastpath_int8_tiles_per_sec",
              bench_eval(model, variables, batch, k_chain, "bfloat16", True,
                         reps, tile, fastpath=True), "tiles/s")
+    if "eval_fastpath_int8cal_all" in modes:
+        # the measured-fastest serving mode: calibrated static scales +
+        # int8 on every backbone stage (docs/PERF_NOTES.md round 2)
+        emit("eval_fastpath_int8cal_all_tiles_per_sec",
+             bench_eval(model, variables, batch, k_chain, "bfloat16", True,
+                        reps, tile, fastpath=True, fused_stem=True,
+                        int8_stages=(1, 2, 3, 4), calibrate=True), "tiles/s")
     if "train" in modes:
         from uemda_tpu.config import load_config
 
