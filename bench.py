@@ -106,8 +106,6 @@ def main():
     if modes and on_tpu:
         # int8 build failure must not discard the working bf16 fastpath
         try:
-            from uemda_tpu.infer.fastpath import calibrate_act_scales
-
             calib = [jax.random.normal(jax.random.key(3), (8, 512, 512, 3), dtype)]
             # static activation scales from one same-distribution batch:
             # +2.4% over dynamic per-tensor amax (1017 -> 1041 tiles/s);
@@ -118,8 +116,10 @@ def main():
             m8, p8 = build_fastpath(model, variables, dtype=dtype, int8=True,
                                     calibration_batches=calib)
             modes.append(("fastpath_int8cal", m8, p8))
+            # fused_stem=True: matches bench_suite's eval_fastpath_int8cal_all
+            # and the config the 1295-1326 tiles/s records were measured with
             m8a, p8a = build_fastpath(model, variables, dtype=dtype, int8=True,
-                                      int8_stages=(1, 2, 3, 4),
+                                      int8_stages=(1, 2, 3, 4), fused_stem=True,
                                       calibration_batches=calib)
             modes.append(("fastpath_int8cal_all", m8a, p8a))
         except Exception as e:

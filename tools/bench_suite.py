@@ -203,7 +203,8 @@ def main():
                         "eval_fastpath_int8,eval_fastpath_int8cal_all,"
                         "train,raster,e2e_serve",
                         help="comma list: eval_bf16,eval_f32,eval_int8,"
-                        "eval_fastpath,eval_fastpath_int8,train,raster,"
+                        "eval_fastpath,eval_fastpath_int8,"
+                        "eval_fastpath_int8cal_all,train,raster,"
                         "e2e_serve (host-inclusive decode->infer->write)")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--k-chain", type=int, default=None)

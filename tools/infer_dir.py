@@ -85,8 +85,19 @@ def main():
                 dataset, args.batch_size, split.mean, split.std,
                 args.calib_batches, tile=cfg.crop,
             )
-        stages = (tuple(int(t) for t in args.int8_stages.split(","))
-                  if args.int8_stages else None)
+        stages = None
+        if args.int8_stages:
+            if not args.int8:
+                raise SystemExit("--int8-stages requires --int8 1 "
+                                 "(it selects which stages to quantize)")
+            stages = tuple(
+                int(t) for t in args.int8_stages.split(",") if t.strip()
+            )
+            bad = [t for t in stages if t not in (1, 2, 3, 4)]
+            if bad or not stages:
+                raise SystemExit(
+                    f"--int8-stages must be a comma list from 1-4, got "
+                    f"{args.int8_stages!r}")
         model, variables = build_fastpath(
             model, variables, int8=bool(args.int8),
             calibration_batches=calib, int8_stages=stages,

@@ -57,12 +57,18 @@ def gate_checkpoint(cfg, ckpt_path, modes, batch_size, calib_batches,
     dataset = SegDataset(cfg.meta, list(split.image_dir), list(split.mask_dir)[0])
     batch = batch_size or split.batch_size
 
-    def calib(n):
-        from uemda_tpu.infer.evaluate import collect_calib_batches
+    calib_cache = {}
 
-        return collect_calib_batches(
-            dataset, batch, split.mean, split.std, n, tile=cfg.crop
-        )
+    def calib(n):
+        # mode-independent: collect once per checkpoint, reuse across the
+        # calibrated modes (image decode is the 1-core host's bottleneck)
+        if n not in calib_cache:
+            from uemda_tpu.infer.evaluate import collect_calib_batches
+
+            calib_cache[n] = collect_calib_batches(
+                dataset, batch, split.mean, split.std, n, tile=cfg.crop
+            )
+        return calib_cache[n]
 
     def build(mode):
         if mode == "standard":

@@ -64,6 +64,7 @@ def tail_upsample_softmax_mean(
 
     ho, wo = int(out_hw[0]), int(out_hw[1])
     b, hi, wi, gc = cat.shape
+    assert gc == g * nc, f"cat has {gc} channels, expected g*nc={g * nc}"
     mh = _interp_matrix(hi, ho, True)
     t = jnp.einsum(
         "bhwc,oh->bowc", cat.astype(jnp.float32), jnp.asarray(mh),
