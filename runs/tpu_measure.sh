@@ -12,7 +12,7 @@ python bench.py | tee $OUT/bench.json
 
 echo "== eval bf16 / int8 / f32 / fastpath =="
 python tools/bench_suite.py \
-  --modes eval_bf16,eval_int8,eval_f32,eval_fastpath,eval_fastpath_int8 \
+  --modes eval_bf16,eval_int8,eval_f32,eval_fastpath,eval_fastpath_int8,eval_fastpath_int8cal_all \
   | tee $OUT/eval_modes.json
 
 echo "== train step latencies =="
