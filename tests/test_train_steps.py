@@ -333,3 +333,137 @@ def test_two_identical_runs_are_bitwise_deterministic():
     np.testing.assert_array_equal(
         np.asarray(a.balance_s.freq), np.asarray(b.balance_s.freq)
     )
+
+
+def test_loop_steps_per_call_matches_per_step():
+    """steps_per_call correctness, two layers:
+
+    (1) ONE chunk == the same steps run sequentially, to f32 ulp level
+        (the scan compiles the identical math; only fusion-order rounding
+        differs — measured 6e-8 max param diff after 2 steps).
+    (2) the full loop with K=3 and log_every=2 (forcing mixed 1/2/3-step
+        chunks at the boundaries) consumes the same batch/key sequence and
+        lands within rounding-chaos tolerance of the per-step loop after 7
+        SGD steps. Bitwise equality is NOT expected across different XLA
+        compilations of the same math."""
+    import logging
+
+    from uemda_tpu.train.loop import (
+        LoopHooks,
+        _make_multi_step,
+        _stack_batches,
+        run_training_loop,
+    )
+
+    model, variables = _tiny_model()
+    hp = _hp(align_domain=False)
+    step = make_src_step(model, hp)
+    logger = logging.getLogger("chunk-test")
+    key0 = jax.random.key(7)
+
+    def batch_at(i):
+        b, bt_, _ = _batches(seed=100 + i)
+        return b, {"image": bt_["image"]}
+
+    # (1) one 2-step chunk vs two sequential steps
+    s_seq = _state(jax.tree.map(jnp.copy, variables))
+    for i in range(2):
+        b, t = batch_at(i)
+        s_seq, _ = step(s_seq, b, t, jax.random.fold_in(key0, i))
+    multi = _make_multi_step(step, True)
+    s_chunk = _state(jax.tree.map(jnp.copy, variables))
+    bs = _stack_batches([batch_at(i)[0] for i in range(2)])
+    bt = _stack_batches([batch_at(i)[1] for i in range(2)])
+    s_chunk, _ = multi(s_chunk, bs, bt, key0, 0)
+    assert int(s_chunk.step) == 2
+    for la, lb in zip(jax.tree.leaves(s_seq.params),
+                      jax.tree.leaves(s_chunk.params)):
+        np.testing.assert_allclose(
+            np.asarray(lb, np.float32), np.asarray(la, np.float32),
+            atol=1e-6, rtol=1e-5)
+
+    # (2) full loop, mixed chunk sizes, same sequence end to end
+    def iters():
+        def gen(kind):
+            i = 0
+            while True:
+                b, t = batch_at(i)
+                yield b if kind == "s" else t
+                i += 1
+
+        return gen("s"), gen("t")
+
+    si, ti = iters()
+    s_one = run_training_loop(
+        _state(jax.tree.map(jnp.copy, variables)), step, si, ti, 7, logger,
+        LoopHooks(eval_every=10**9, log_every=2), rng_seed=7,
+    )
+    si, ti = iters()
+    s_k = run_training_loop(
+        _state(jax.tree.map(jnp.copy, variables)), step, si, ti, 7, logger,
+        LoopHooks(eval_every=10**9, log_every=2, steps_per_call=3),
+        rng_seed=7,
+    )
+    assert int(s_one.step) == int(s_k.step) == 7
+    # across DIFFERENT XLA compilations only rounding-chaos-level agreement
+    # is expected after 7 SGD steps (the exact-math identity is part (1))
+    for la, lb in zip(jax.tree.leaves(s_one.params),
+                      jax.tree.leaves(s_k.params)):
+        np.testing.assert_allclose(
+            np.asarray(lb, np.float32), np.asarray(la, np.float32),
+            atol=1e-2, rtol=0.0)
+
+
+def test_loop_steps_per_call_chunk_schedule(monkeypatch):
+    """The chunked loop's MECHANICS: with K=3, log_every=2 and 7 steps the
+    multi-step chunks must be [2@2, 2@4] (i=0 single first-log step, i=1
+    and i=6 clamped by the log/stop boundaries run per-step) and the
+    stacked batches must hold the exact per-step batch sequence in
+    order."""
+    import logging
+
+    from uemda_tpu.train import loop as L
+
+    model, variables = _tiny_model()
+    hp = _hp(align_domain=False)
+    step = make_src_step(model, hp)
+    logger = logging.getLogger("sched-test")
+
+    def batch_at(i):
+        b, bt_, _ = _batches(seed=100 + i)
+        return b, {"image": bt_["image"]}
+
+    calls = []
+    real = L._make_multi_step
+
+    def spy_make(step_fn, with_target):
+        multi = real(step_fn, with_target)
+
+        def wrapped(state, bs, bt, key0, i0):
+            fps = [float(np.asarray(x).sum())
+                   for x in np.asarray(bs["image"])]
+            calls.append((int(i0), len(fps), fps))
+            return multi(state, bs, bt, key0, i0)
+
+        return wrapped
+
+    monkeypatch.setattr(L, "_make_multi_step", spy_make)
+
+    def gen(kind):
+        i = 0
+        while True:
+            b, t = batch_at(i)
+            yield b if kind == "s" else t
+            i += 1
+
+    L.run_training_loop(
+        _state(jax.tree.map(jnp.copy, variables)), step, gen("s"), gen("t"),
+        7, logger,
+        L.LoopHooks(eval_every=10**9, log_every=2, steps_per_call=3),
+        rng_seed=7,
+    )
+    assert [(i0, n) for i0, n, _ in calls] == [(2, 2), (4, 2)]
+    for i0, n, fps in calls:
+        for k in range(n):
+            expect = float(np.asarray(batch_at(i0 + k)[0]["image"]).sum())
+            assert abs(fps[k] - expect) < 1e-3, (i0, k)

@@ -60,6 +60,10 @@ def main():
     parser.add_argument("--accum-steps", type=int, default=1,
                         help="gradient accumulation: one SGD update per k "
                              "micro-batches (effective batch k x batch)")
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="K iterations per jitted call (scan over K "
+                             "stacked batches) — removes per-step dispatch "
+                             "latency; math/PRNG/cadences identical to 1")
     parser.add_argument("--resume", type=str, default="",
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     add_multihost_flags(parser)
@@ -102,6 +106,7 @@ def main():
     tgt_iter, _ = make_target_iter(cfg, label_type="none", skip=start_step)
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
     hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
+                      steps_per_call=args.steps_per_call,
                       on_best=on_best, state_path=state_path)
 
     run_training_loop(

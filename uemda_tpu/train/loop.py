@@ -136,6 +136,13 @@ class LoopHooks:
     # TimeoutError so an orchestrator can restart with --resume auto from
     # the last state snapshot instead of hanging. 0 disables.
     hang_timeout_s: float = 900.0
+    # K iterations per jitted call (lax.scan over K stacked batches): on
+    # dispatch-latency-bound hosts this recovers the pure device rate
+    # (68 -> 40 ms/step measured through the axon tunnel, PERF_NOTES.md).
+    # Math, PRNG sequence and log/eval cadences are identical to K=1 —
+    # chunks clamp at every boundary. Single-process only (ignored with a
+    # warning under multi-host).
+    steps_per_call: int = 1
 
 
 def _deadline(fn, timeout_s: float, what: str):
@@ -187,6 +194,40 @@ def _device_iter(iterator, mesh, depth: int = 2):
             return jax.tree.map(jax.device_put, b)
 
     return prefetch((put(b) for b in iterator), depth=depth)
+
+
+def _stack_batches(batches):
+    """K device batches -> one pytree with a new leading K axis (device
+    concat; small next to the K steps it feeds)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def _make_multi_step(step_fn, with_target: bool):
+    """K training steps in ONE jitted call: scan over the stacked batches,
+    per-step keys ``fold_in(key0, i0 + k)`` with a TRACED chunk start so
+    every chunk reuses one compilation — the key sequence is identical to
+    the per-step loop. Returns the final state and the LAST step's metrics
+    (what the boundary-aligned log would have read under K=1)."""
+    import functools as _ft
+
+    # the per-step fn is already jitted with donated state; inline its
+    # underlying function so nested-jit donation warnings don't fire
+    inner = getattr(step_fn, "__wrapped__", step_fn)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, bs, bt, key0, i0):
+        def body(st, xs):
+            k, b_s, b_t = xs
+            sub = jax.random.fold_in(key0, i0 + k)
+            if with_target:
+                return inner(st, b_s, b_t, sub)
+            return inner(st, b_s, sub)
+
+        n = jax.tree.leaves(bs)[0].shape[0]
+        state, ms = jax.lax.scan(body, state, (jnp.arange(n), bs, bt))
+        return state, jax.tree.map(lambda a: a[-1], ms)
+
+    return multi
 
 
 def run_training_loop(
@@ -251,7 +292,14 @@ def run_training_loop(
         state = shard_pytree_replicated(mesh, state)
     profiling = False
     saver = None
-    for i in range(start_step, stop_steps):
+    k_max = max(1, int(hooks.steps_per_call))
+    if k_max > 1 and jax.process_count() > 1:
+        logger.info("steps_per_call > 1 is single-process only; using 1")
+        k_max = 1
+    multi_step = (_make_multi_step(step_fn, target_iter is not None)
+                  if k_max > 1 else None)
+    i = start_step
+    while i < stop_steps:
         if profile_dir is not None and i == min(10, stop_steps - 2):
             jax.profiler.start_trace(profile_dir)
             profiling = True
@@ -264,25 +312,43 @@ def run_training_loop(
             logger.info(f"profiler trace written to {profile_dir}")
             profile_dir = None
             profiling = False
-        batch_s = next(source_iter)
-        batch_t = next(target_iter) if target_iter is not None else None
-        sub = jax.random.fold_in(key0, i)
-        if batch_t is not None:
-            state, metrics = step_fn(state, batch_s, batch_t, sub)
+        k = 1
+        if (multi_step is not None and i > 0
+                and profile_dir is None and not profiling):
+            # chunks clamp at every log/eval/stop boundary, so i always
+            # lands ON the boundary and the logged metrics are that exact
+            # iteration's — cadence semantics identical to K=1 (i == 0
+            # stays a single step to keep the iter=1 first log; the
+            # profiler window forces K=1 so its step 10/15 markers hit)
+            k = min(k_max, stop_steps - i,
+                    hooks.log_every - i % hooks.log_every,
+                    hooks.eval_every - i % hooks.eval_every)
+        if k > 1:
+            bs = _stack_batches([next(source_iter) for _ in range(k)])
+            bt = (_stack_batches([next(target_iter) for _ in range(k)])
+                  if target_iter is not None else None)
+            state, metrics = multi_step(state, bs, bt, key0, i)
         else:
-            state, metrics = step_fn(state, batch_s, sub)
+            batch_s = next(source_iter)
+            batch_t = next(target_iter) if target_iter is not None else None
+            sub = jax.random.fold_in(key0, i)
+            if batch_t is not None:
+                state, metrics = step_fn(state, batch_s, batch_t, sub)
+            else:
+                state, metrics = step_fn(state, batch_s, sub)
+        i += k
 
-        if main and (i == 0 or (i + 1) % hooks.log_every == 0):
+        if main and (i == 1 or i % hooks.log_every == 0):
             m = _deadline(
                 lambda: {k: float(v) for k, v in metrics.items()},
-                hooks.hang_timeout_s, f"metric readback @ iter {i + 1}",
+                hooks.hang_timeout_s, f"metric readback @ iter {i}",
             )
             msg = ", ".join(f"{k}={v:.4g}" for k, v in m.items())
-            logger.info(f"iter={i + 1}/{stop_steps}, {msg}")
-            log_jsonl({"step": i + 1, **m})
+            logger.info(f"iter={i}/{stop_steps}, {msg}")
+            log_jsonl({"step": i, **m})
 
         if main and hooks.eval_fn is not None and (
-            (i + 1) % hooks.eval_every == 0 or (i + 1) >= stop_steps
+            i % hooks.eval_every == 0 or i >= stop_steps
         ):
             if hooks.state_path:
                 if saver is None:
@@ -293,26 +359,26 @@ def run_training_loop(
                 # disk IO continue on the saver thread while eval runs
                 _deadline(
                     lambda: saver.save(hooks.state_path, state),
-                    hooks.hang_timeout_s, f"state snapshot @ iter {i + 1}",
+                    hooks.hang_timeout_s, f"state snapshot @ iter {i}",
                 )
             miou = _deadline(
                 lambda: hooks.eval_fn(state),
-                hooks.hang_timeout_s, f"eval @ iter {i + 1}",
+                hooks.hang_timeout_s, f"eval @ iter {i}",
             )
             if hooks.on_eval:
-                hooks.on_eval(state, i + 1, miou)
+                hooks.on_eval(state, i, miou)
             if miou >= miou_max:
-                miou_max, iter_max = miou, i + 1
+                miou_max, iter_max = miou, i
                 if hooks.on_best:
-                    hooks.on_best(state, i + 1, miou)
+                    hooks.on_best(state, i, miou)
                 if best_json:
                     with open(best_json, "w") as f:
                         json.dump({"miou": miou_max, "step": iter_max}, f)
             logger.info(
-                f"eval@{i + 1}: mIoU={miou:.5f} "
+                f"eval@{i}: mIoU={miou:.5f} "
                 f"(best {miou_max:.5f} @ iter {iter_max})"
             )
-            log_jsonl({"step": i + 1, "miou": miou})
+            log_jsonl({"step": i, "miou": miou})
     if main and hooks.state_path:
         def final_save():
             if saver is not None:
