@@ -341,8 +341,9 @@ def test_loop_steps_per_call_matches_per_step():
     (1) ONE chunk == the same steps run sequentially, to f32 ulp level
         (the scan compiles the identical math; only fusion-order rounding
         differs — measured 6e-8 max param diff after 2 steps).
-    (2) the full loop with K=3 and log_every=2 (forcing mixed 1/2/3-step
-        chunks at the boundaries) consumes the same batch/key sequence and
+    (2) the full loop with K=3 and log_every=3 (per-step at clamped
+        boundaries, one full chunk where K fits) consumes the same
+        batch/key sequence and
         lands within rounding-chaos tolerance of the per-step loop after 7
         SGD steps. Bitwise equality is NOT expected across different XLA
         compilations of the same math."""
@@ -396,12 +397,12 @@ def test_loop_steps_per_call_matches_per_step():
     si, ti = iters()
     s_one = run_training_loop(
         _state(jax.tree.map(jnp.copy, variables)), step, si, ti, 7, logger,
-        LoopHooks(eval_every=10**9, log_every=2), rng_seed=7,
+        LoopHooks(eval_every=10**9, log_every=3), rng_seed=7,
     )
     si, ti = iters()
     s_k = run_training_loop(
         _state(jax.tree.map(jnp.copy, variables)), step, si, ti, 7, logger,
-        LoopHooks(eval_every=10**9, log_every=2, steps_per_call=3),
+        LoopHooks(eval_every=10**9, log_every=3, steps_per_call=3),
         rng_seed=7,
     )
     assert int(s_one.step) == int(s_k.step) == 7
@@ -416,10 +417,12 @@ def test_loop_steps_per_call_matches_per_step():
 
 def test_loop_steps_per_call_chunk_schedule(monkeypatch):
     """The chunked loop's MECHANICS: with K=3, log_every=2 and 7 steps the
-    multi-step chunks must be [2@2, 2@4] (i=0 single first-log step, i=1
-    and i=6 clamped by the log/stop boundaries run per-step) and the
-    stacked batches must hold the exact per-step batch sequence in
-    order."""
+    chunked loop runs a full chunk ONLY where it fits inside every
+    log/eval/stop boundary (k is always 1 or K — one scan compilation):
+    with K=3, log_every=3 and 7 steps the single multi-step call must be
+    [3@3] (i=0 first-log, i=1/2 boundary-clamped, i=6 stop-clamped all
+    run per-step) and the stacked batches must hold the exact per-step
+    batch sequence in order."""
     import logging
 
     from uemda_tpu.train import loop as L
@@ -459,10 +462,10 @@ def test_loop_steps_per_call_chunk_schedule(monkeypatch):
     L.run_training_loop(
         _state(jax.tree.map(jnp.copy, variables)), step, gen("s"), gen("t"),
         7, logger,
-        L.LoopHooks(eval_every=10**9, log_every=2, steps_per_call=3),
+        L.LoopHooks(eval_every=10**9, log_every=3, steps_per_call=3),
         rng_seed=7,
     )
-    assert [(i0, n) for i0, n, _ in calls] == [(2, 2), (4, 2)]
+    assert [(i0, n) for i0, n, _ in calls] == [(3, 3)]
     for i0, n, fps in calls:
         for k in range(n):
             expect = float(np.asarray(batch_at(i0 + k)[0]["image"]).sum())

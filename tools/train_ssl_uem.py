@@ -26,7 +26,7 @@ from uemda_tpu.parallel.multihost import (
     trainer_mesh,
 )
 from uemda_tpu.train.checkpoints import load_checkpoint
-from uemda_tpu.train.loop import (
+from uemda_tpu.train.loop import (add_loop_flags,
     LoopHooks,
     build_model,
     build_state,
@@ -77,10 +77,7 @@ def main():
     parser.add_argument("--accum-steps", type=int, default=1,
                         help="gradient accumulation: one SGD update per k "
                              "micro-batches (effective batch k x batch)")
-    parser.add_argument("--steps-per-call", type=int, default=1,
-                        help="K iterations per jitted call (scan over K "
-                             "stacked batches) — removes per-step dispatch "
-                             "latency; math/PRNG/cadences identical to 1")
+    add_loop_flags(parser)
     parser.add_argument("--resume", type=str, default="",
                         help="'auto' or a state_curr.msgpack path (exact full-state resume)")
     parser.add_argument("--profile-dir", type=str, default=None,

@@ -202,13 +202,26 @@ def _stack_batches(batches):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
+# one multi-step jit per (step_fn, with_target) for the PROCESS lifetime:
+# the gene-chunked trainers call run_training_loop once per regeneration
+# round, and a fresh jit wrapper per round would retrace the K-step scan
+# every time. Strong refs are intentional (a handful per process) — jitted
+# step objects don't support weakrefs.
+_MULTI_STEP_CACHE: Dict = {}
+
+
 def _make_multi_step(step_fn, with_target: bool):
     """K training steps in ONE jitted call: scan over the stacked batches,
     per-step keys ``fold_in(key0, i0 + k)`` with a TRACED chunk start so
-    every chunk reuses one compilation — the key sequence is identical to
-    the per-step loop. Returns the final state and the LAST step's metrics
-    (what the boundary-aligned log would have read under K=1)."""
+    every same-K chunk reuses one compilation — the key sequence is
+    identical to the per-step loop. Returns the final state and the LAST
+    step's metrics (what the boundary-aligned log would have read under
+    K=1)."""
     import functools as _ft
+
+    cached = _MULTI_STEP_CACHE.get((id(step_fn), with_target))
+    if cached is not None:
+        return cached[1]
 
     # the per-step fn is already jitted with donated state; inline its
     # underlying function so nested-jit donation warnings don't fire
@@ -227,7 +240,16 @@ def _make_multi_step(step_fn, with_target: bool):
         state, ms = jax.lax.scan(body, state, (jnp.arange(n), bs, bt))
         return state, jax.tree.map(lambda a: a[-1], ms)
 
+    _MULTI_STEP_CACHE[(id(step_fn), with_target)] = (step_fn, multi)
     return multi
+
+
+def add_loop_flags(parser) -> None:
+    """Shared trainer CLI flags consumed by :class:`LoopHooks`."""
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="K iterations per jitted call (scan over K "
+                             "stacked batches) — removes per-step dispatch "
+                             "latency; math/PRNG/cadences identical to 1")
 
 
 def run_training_loop(
@@ -298,12 +320,18 @@ def run_training_loop(
         k_max = 1
     multi_step = (_make_multi_step(step_fn, target_iter is not None)
                   if k_max > 1 else None)
+    # the profiler window is RELATIVE to where this loop starts, so a
+    # resumed run (start_step > 0) still produces a trace instead of
+    # silently arming a window it can never reach (which would also pin
+    # the chunked path to K=1 forever)
+    trace_start = start_step + min(10, max(stop_steps - start_step - 2, 0))
+    trace_stop = start_step + min(15, max(stop_steps - start_step - 1, 1))
     i = start_step
     while i < stop_steps:
-        if profile_dir is not None and i == min(10, stop_steps - 2):
+        if profile_dir is not None and i == trace_start:
             jax.profiler.start_trace(profile_dir)
             profiling = True
-        if profiling and i == min(15, stop_steps - 1):
+        if profiling and i == trace_stop:
             # scalar readback, NOT block_until_ready: the axon tunnel does
             # not block in block_until_ready (CLAUDE.md gotcha) and a
             # truncated trace is worse than no trace
@@ -315,14 +343,19 @@ def run_training_loop(
         k = 1
         if (multi_step is not None and i > 0
                 and profile_dir is None and not profiling):
-            # chunks clamp at every log/eval/stop boundary, so i always
-            # lands ON the boundary and the logged metrics are that exact
-            # iteration's — cadence semantics identical to K=1 (i == 0
-            # stays a single step to keep the iter=1 first log; the
-            # profiler window forces K=1 so its step 10/15 markers hit)
-            k = min(k_max, stop_steps - i,
-                    hooks.log_every - i % hooks.log_every,
-                    hooks.eval_every - i % hooks.eval_every)
+            # a full chunk runs only when it fits inside every log/eval/
+            # stop boundary; otherwise fall back to per-step — so k is
+            # always 1 or k_max (ONE scan compilation, no residue-shape
+            # retraces), i always lands ON each boundary and the logged
+            # metrics are that exact iteration's. i == 0 stays a single
+            # step to keep the iter=1 first log; the profiler window
+            # forces K=1 so its step markers hit (the trace then shows the
+            # per-step dispatch path — a documented compromise).
+            fit = min(stop_steps - i,
+                      hooks.log_every - i % hooks.log_every,
+                      hooks.eval_every - i % hooks.eval_every)
+            if fit >= k_max:
+                k = k_max
         if k > 1:
             bs = _stack_batches([next(source_iter) for _ in range(k)])
             bt = (_stack_batches([next(target_iter) for _ in range(k)])
