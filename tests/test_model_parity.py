@@ -27,11 +27,16 @@ from uemda_tpu.models.port_torch import port_deeplabv2
 class TBasic(tnn.Module):
     expansion = 1
 
-    def __init__(self, inp, planes, stride=1, dilation=1, downsample=None):
+    def __init__(self, inp, planes, stride=1, dilation=1, downsample=None,
+                 dilation2=None):
         super().__init__()
+        # reference surgery is per conv (resnet.py:192-207): conv1 (the
+        # stride carrier) gets dilate//2 in the first block, but conv2 is
+        # an "other convolution" and always gets the FULL stage dilate
+        d2 = dilation if dilation2 is None else dilation2
         self.conv1 = tnn.Conv2d(inp, planes, 3, stride, dilation, dilation, bias=False)
         self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, dilation, dilation, bias=False)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, d2, d2, bias=False)
         self.bn2 = tnn.BatchNorm2d(planes)
         self.downsample = downsample
 
@@ -89,7 +94,8 @@ class TResNet(tnn.Module):
                         tnn.Conv2d(self.inp, planes * block.expansion, 1, s, bias=False),
                         tnn.BatchNorm2d(planes * block.expansion),
                     )
-                blocks.append(block(self.inp, planes, s, d, ds))
+                kw = {"dilation2": dilate} if block is TBasic else {}
+                blocks.append(block(self.inp, planes, s, d, ds, **kw))
                 self.inp = planes * block.expansion
             setattr(self, f"layer{i+1}", tnn.Sequential(*blocks))
 

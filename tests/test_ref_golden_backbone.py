@@ -34,6 +34,11 @@ for name in ("resnext50_32x4d", "resnet50_v1c"):
 
 VARIANTS = [
     ("resnet18", 32),
+    # BasicBlock at OS16/8: the surgery dilates conv2 of the FIRST block to
+    # the full stage dilate while conv1 keeps dilate//2 (resnet.py:192-207)
+    # — a per-conv asymmetry Bottleneck (single 3x3) never shows
+    ("resnet18", 16),
+    ("resnet34", 8),
     ("resnet50", 8),
     ("resnext50_32x4d", 16),
     ("resnet50_v1c", 16),

@@ -479,16 +479,19 @@ def build_serving_params(
 # ---------------------------------------------------------------------------
 
 
-def _block_forward(x, blk, meta, stride, dilation):
-    """One residual block; ``dilation`` applies to the 3x3 conv(s), the
-    stride sits on conv1 (BasicBlock) / conv2 (Bottleneck, torchvision
-    v1.5), mirroring ``models/resnet.py`` exactly."""
+def _block_forward(x, blk, meta, stride, dilation, dilation2=None):
+    """One residual block; the stride sits on conv1 (BasicBlock) / conv2
+    (Bottleneck, torchvision v1.5), mirroring ``models/resnet.py`` exactly.
+    ``dilation`` is for the stride-carrying 3x3; ``dilation2`` (default =
+    dilation) is for BasicBlock's conv2, which the reference surgery gives
+    the FULL stage dilate even in the first block (resnet.py:192-207)."""
     groups = meta["groups"]
     identity = x
     if meta["block"] == "basic":
         y = jax.nn.relu(_conv_any(x, blk["conv1"], stride=stride,
                                   dilation=dilation))
-        y = _conv_any(y, blk["conv2"], dilation=dilation)
+        y = _conv_any(y, blk["conv2"],
+                      dilation=dilation if dilation2 is None else dilation2)
     else:
         y = jax.nn.relu(_conv_any(x, blk["conv1"]))
         y = jax.nn.relu(_conv_any(y, blk["conv2"], stride=stride,
@@ -521,7 +524,8 @@ def _stage_forward(x, blocks, meta, stride, dilate, s2b: bool, li: int = -1):
     ``li`` (1-based stage number) selects the fused-Pallas identity blocks
     when listed in meta['fused_stages']."""
     fused = (li in meta.get("fused_stages", ())) if li > 0 else False
-    x = _block_forward(x, blocks[0], meta, stride, max(dilate // 2, 1))
+    x = _block_forward(x, blocks[0], meta, stride, max(dilate // 2, 1),
+                       dilation2=dilate)
     rest = blocks[1:]
     if not rest:
         return x
@@ -654,8 +658,11 @@ def serving_forward(meta: Dict[str, Any], params: Dict[str, Any],
     # resize is per-channel linear — concat then slice is exact) so the
     # full-res f32 intermediates are built once, not per head.
     if len(head_logits) > 1 and all(
-        l.shape[1:3] == head_logits[0].shape[1:3] for l in head_logits
+        l.shape[1:] == head_logits[0].shape[1:] for l in head_logits
     ):
+        # (full shape match, not just spatial: heads with equal H,W but
+        # different class counts must take the per-head path below — the
+        # fixed-nc softmax slicing would silently mis-split them)
         # NOTE measured alternatives (runs tail A/B, docs/PERF_NOTES.md
         # round 2): a bf16 hi/lo 2-pass resize and a single reshaped
         # (g, nc) softmax-mean BOTH measured slower than this f32-HIGHEST
@@ -801,6 +808,29 @@ def check_fastpath_tile(tile) -> None:
             f"--fastpath requires even tile sides (space-to-depth stem), "
             f"got {tuple(tile)}; rerun without --fastpath"
         )
+
+
+def parse_int8_stages_flag(int8_stages: str, int8: bool, fastpath: bool):
+    """CLI guard for ``--int8-stages``: call RIGHT AFTER argparse, before any
+    calibration-batch collection, so a bad value fails fast instead of after
+    minutes of image decode (and so the flag is never silently ignored when
+    --fastpath/--int8 are absent). Returns a stage tuple or None."""
+    if not int8_stages:
+        return None
+    if not fastpath or not int8:
+        raise SystemExit(
+            "--int8-stages requires --fastpath 1 --int8 1 "
+            "(it selects which fastpath backbone stages to quantize)"
+        )
+    try:
+        stages = tuple(int(t) for t in int8_stages.split(",") if t.strip())
+    except ValueError:
+        stages = ()
+    if not stages or any(t not in (1, 2, 3, 4) for t in stages):
+        raise SystemExit(
+            f"--int8-stages must be a comma list from 1-4, got {int8_stages!r}"
+        )
+    return stages
 
 
 def build_fastpath(

@@ -7,8 +7,10 @@ TPU-native rebuild of the reference backbone stack
   deep-stem v1c variants.
 * Output-stride surgery (``resnet.py:192-207``): rather than mutating built
   modules, stride/dilation per stage are *computed up front* from the target
-  output stride — first block of a dilated stage keeps ``dilate // 2`` on its
-  3x3 (the conv that previously had stride 2), later blocks use ``dilate``.
+  output stride. The surgery is per conv: the 3x3 that previously carried
+  stride 2 keeps ``dilate // 2``; every OTHER 3x3 in the stage gets the full
+  ``dilate`` — including conv2 of the first BasicBlock (matters only for
+  resnet18/34 at OS 8/16; Bottleneck has a single 3x3 per block).
 * Frozen-BN semantics (``resnet.py:112-117``): running averages are always
   used and never updated (parameter freezing itself is an optimizer mask, see
   ``uemda_tpu.train.optim.freeze_mask``).
@@ -79,7 +81,8 @@ class BatchNorm(nn.Module):
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
-    dilation: int = 1
+    dilation: int = 1  # conv1 (the conv that carried the stride)
+    dilation2: int = 1  # conv2 — the surgery's "other convolutions" branch
     downsample: bool = False
     frozen_bn: bool = False
     groups: int = 1  # unused; BasicBlock supports groups=1 only
@@ -92,7 +95,7 @@ class BasicBlock(nn.Module):
         out = conv(self.planes, 3, self.stride, self.dilation, name="conv1")(x)
         out = BatchNorm(self.frozen_bn, name="bn1")(out, train)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = conv(self.planes, 3, 1, self.dilation2, name="conv2")(out)
         out = BatchNorm(self.frozen_bn, name="bn2")(out, train)
         if self.downsample:
             identity = conv(self.planes, 1, self.stride, name="ds_conv")(x)
@@ -104,6 +107,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
+    dilation2: int = 1  # unused: Bottleneck has a single 3x3 (conv2)
     downsample: bool = False
     frozen_bn: bool = False
     groups: int = 1
@@ -195,7 +199,13 @@ class ResNetStage(nn.Module):
             x = self.block_cls(
                 planes=self.planes,
                 stride=self.stride if first else 1,
+                # _nostride_dilate is PER CONV (resnet.py:192-207): only the
+                # conv that carried the stride gets dilate//2; every other
+                # 3x3 in the stage gets the full dilate — including conv2 of
+                # the FIRST BasicBlock (Bottleneck has one 3x3, so there
+                # dilation == dilation2 never diverges)
                 dilation=max(self.dilate // 2, 1) if first else self.dilate,
+                dilation2=self.dilate,
                 downsample=ds,
                 frozen_bn=self.frozen_bn,
                 groups=self.groups,
