@@ -47,7 +47,18 @@ def main():
                         help="with --fastpath --int8: comma list of backbone "
                         "stages to quantize (default 3,4; 1,2,3,4 is fastest "
                         "with --calib-batches — gate first, serving_gate.py)")
+    parser.add_argument("--decode-workers", type=int, default=1,
+                        help="host-side image-decode thread pool (>1 pays "
+                        "off on multi-core hosts)")
     args = parser.parse_args()
+
+    # validate before any model/calibration work, and reject the flag when
+    # it would otherwise be silently ignored (ADVICE r2)
+    from uemda_tpu.infer.fastpath import parse_int8_stages_flag
+
+    int8_stages = parse_int8_stages_flag(
+        args.int8_stages, bool(args.int8), bool(args.fastpath)
+    )
 
     cfg = load_config(args.config_path)
     run_dir = cfg.snapshot_dir
@@ -89,22 +100,9 @@ def main():
                 dataset, args.batch_size or split.batch_size,
                 split.mean, split.std, args.calib_batches, tile=cfg.crop,
             )
-        stages = None
-        if args.int8_stages:
-            if not args.int8:
-                raise SystemExit("--int8-stages requires --int8 1 "
-                                 "(it selects which stages to quantize)")
-            stages = tuple(
-                int(t) for t in args.int8_stages.split(",") if t.strip()
-            )
-            bad = [t for t in stages if t not in (1, 2, 3, 4)]
-            if bad or not stages:
-                raise SystemExit(
-                    f"--int8-stages must be a comma list from 1-4, got "
-                    f"{args.int8_stages!r}")
         model, variables = build_fastpath(
             model, variables, int8=bool(args.int8),
-            calibration_batches=calib, int8_stages=stages,
+            calibration_batches=calib, int8_stages=int8_stages,
         )
     elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
@@ -115,6 +113,7 @@ def main():
         tta=bool(args.tta),
         batch_size=args.batch_size or split.batch_size,
         vis_dir=vis_dir, logger=logger, mesh=mesh,
+        decode_workers=args.decode_workers,
     )
     print(json.dumps({"miou": miou, **{k: summary[k] for k in ("mf1", "mprecision", "mrecall")}}))
 

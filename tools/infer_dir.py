@@ -59,7 +59,19 @@ def main():
     parser.add_argument("--color", type=str2bool, default=1,
                         help="write palette PNGs")
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--decode-workers", type=int, default=1,
+                        help="host-side image-decode thread pool (PNG/TIFF "
+                        "decompression releases the GIL; >1 pays off on "
+                        "multi-core deployment hosts — this 1-core dev host "
+                        "is flat)")
     args = parser.parse_args()
+
+    # validate before any model/calibration work (ADVICE r2)
+    from uemda_tpu.infer.fastpath import parse_int8_stages_flag
+
+    int8_stages = parse_int8_stages_flag(
+        args.int8_stages, bool(args.int8), bool(args.fastpath)
+    )
 
     cfg = load_config(args.config_path)
     model = build_model(cfg)
@@ -85,22 +97,9 @@ def main():
                 dataset, args.batch_size, split.mean, split.std,
                 args.calib_batches, tile=cfg.crop,
             )
-        stages = None
-        if args.int8_stages:
-            if not args.int8:
-                raise SystemExit("--int8-stages requires --int8 1 "
-                                 "(it selects which stages to quantize)")
-            stages = tuple(
-                int(t) for t in args.int8_stages.split(",") if t.strip()
-            )
-            bad = [t for t in stages if t not in (1, 2, 3, 4)]
-            if bad or not stages:
-                raise SystemExit(
-                    f"--int8-stages must be a comma list from 1-4, got "
-                    f"{args.int8_stages!r}")
         model, variables = build_fastpath(
             model, variables, int8=bool(args.int8),
-            calibration_batches=calib, int8_stages=stages,
+            calibration_batches=calib, int8_stages=int8_stages,
         )
     elif args.int8:
         from uemda_tpu.infer.quant import Int8Model
@@ -118,7 +117,9 @@ def main():
 
     predictor, hw = None, None
     t0, done = time.time(), 0
-    for indices, images, n, _ in device_batches(dataset, args.batch_size, mesh):
+    for indices, images, n, _ in device_batches(
+        dataset, args.batch_size, mesh, decode_workers=args.decode_workers
+    ):
         if predictor is None or images.shape[1:3] != hw:
             hw = images.shape[1:3]
             predictor = make_predictor(model, cfg.crop, hw, tta=bool(args.tta))

@@ -82,9 +82,12 @@ def gate_checkpoint(cfg, ckpt_path, modes, batch_size, calib_batches,
 
             m, p = build_fastpath(
                 model, variables, int8="int8" in mode,
-                # _all: calibrated int8 on EVERY backbone stage (the
-                # measured-fastest serving mode, build_fastpath docstring)
+                # _all: calibrated int8 on EVERY backbone stage + fused
+                # Pallas stem — the EXACT config bench.py/bench_suite
+                # measure and serve as the headline, so the gate verifies
+                # what ships (interpret-mode Pallas on CPU)
                 int8_stages=(1, 2, 3, 4) if mode.endswith("_all") else None,
+                fused_stem=mode.endswith("_all"),
             )
             if mode.startswith("fastpath_int8cal"):
                 p = calibrate_act_scales(m.meta, p, calib(calib_batches))

@@ -1,6 +1,14 @@
 """Adversarial output-space adaptation trainer (the working counterpart of
 the reference's ``configs/adv`` method family, whose trainer is absent from
-the reference repo)."""
+the reference repo; discriminator surface: ``uemda/models/Discriminator.py:
+4-78``).
+
+Round 3: driven by the unified training loop (uemda_tpu/train/loop.py), so
+it gets the same elasticity surface as every pipeline trainer — ``--resume
+auto`` exact full-state resume (G + D params, both optimizers, step),
+``--accum-steps`` (segmenter updates; D steps every micro-batch),
+``--steps-per-call``, ``--num-devices`` and ``--multihost``.
+"""
 
 import os as _os
 import sys as _sys
@@ -11,9 +19,15 @@ import argparse
 import os
 
 from uemda_tpu.config import load_config, snapshot_config
+from uemda_tpu.parallel.multihost import (
+    add_multihost_flags,
+    setup_multihost,
+    trainer_mesh,
+)
 from uemda_tpu.train.adversarial import create_adv_state, make_adv_step
 from uemda_tpu.train.loop import (
     LoopHooks,
+    add_loop_flags,
     build_model,
     build_state,
     default_hparams,
@@ -21,6 +35,8 @@ from uemda_tpu.train.loop import (
     make_eval_hook,
     make_source_iter,
     make_target_iter,
+    maybe_resume,
+    run_training_loop,
 )
 from uemda_tpu.utils.log import get_console_file_logger, logging_args, str2bool
 from uemda_tpu.utils.runtime import enable_compile_cache
@@ -38,8 +54,21 @@ def main():
     parser.add_argument("--ls", type=str, default="CrossEntropy",
                         choices=["CrossEntropy", "OhemCrossEntropy"])
     parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation for the segmenter: one "
+                             "SGD update per k micro-batches (the "
+                             "discriminator still steps every micro-batch)")
+    add_loop_flags(parser)
+    parser.add_argument("--resume", type=str, default="",
+                        help="'auto' or a state_curr.msgpack path (exact "
+                             "full-state resume incl. discriminator)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 10-15")
+    add_multihost_flags(parser)
     args = parser.parse_args()
+    multihost = setup_multihost(args)
 
     cfg = load_config(args.config_path, snapshot_postfix="/adv")
     run_dir = cfg.snapshot_dir
@@ -56,42 +85,34 @@ def main():
 
         variables = load_checkpoint(args.ckpt_model, variables)
     seg_state = build_state(
-        variables, cfg, stop_steps, feat_channels=model.config.inchannels
+        variables, cfg, stop_steps, feat_channels=model.config.inchannels,
+        accum_steps=args.accum_steps,
     )
-    adv_state = create_adv_state(seg_state, cfg.class_num, args.d_lr, cfg.crop)
+    state = create_adv_state(seg_state, cfg.class_num, args.d_lr, cfg.crop)
 
     hp = default_hparams(
         cfg, source_loss="ohem" if args.ls == "OhemCrossEntropy" else "ce"
     )
     step_fn = make_adv_step(model, hp, lambda_adv=args.lambda_adv)
 
-    src_iter, _ = make_source_iter(cfg)
-    tgt_iter, _ = make_target_iter(cfg, label_type="none")
+    mesh = trainer_mesh(args, multihost)
+    state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
+    src_iter, _ = make_source_iter(cfg, skip=start_step)
+    tgt_iter, _ = make_target_iter(cfg, label_type="none", skip=start_step)
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
+    hooks = LoopHooks(
+        eval_every=cfg.eval_every,
+        eval_fn=lambda adv: eval_fn(adv.seg),
+        on_best=lambda adv, i, miou: on_best(adv.seg, i, miou),
+        steps_per_call=args.steps_per_call,
+        state_path=state_path,
+    )
 
-    import jax
-
-    key = jax.random.key(args.seed)
-    miou_max, iter_max = 0.0, 0
-    for i in range(stop_steps):
-        batch_s = next(src_iter)
-        batch_t = next(tgt_iter)
-        key, sub = jax.random.split(key)
-        adv_state, metrics = step_fn(adv_state, batch_s, batch_t, sub)
-        if i == 0 or (i + 1) % 50 == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.info(
-                f"iter={i + 1}/{stop_steps}, "
-                + ", ".join(f"{k}={v:.4g}" for k, v in m.items())
-            )
-        if (i + 1) % cfg.eval_every == 0 or (i + 1) >= stop_steps:
-            miou = eval_fn(adv_state.seg)
-            if miou >= miou_max:
-                miou_max, iter_max = miou, i + 1
-                on_best(adv_state.seg, i + 1, miou)
-            logger.info(
-                f"eval@{i + 1}: mIoU={miou:.5f} (best {miou_max:.5f} @ {iter_max})"
-            )
+    run_training_loop(
+        state, step_fn, src_iter, tgt_iter, stop_steps, logger, hooks,
+        mesh=mesh, rng_seed=args.seed, profile_dir=args.profile_dir,
+        start_step=start_step,
+    )
 
 
 if __name__ == "__main__":

@@ -125,11 +125,32 @@ def infinite_batches(
             yield dataset.batch(idx)
 
 
-def sequential_batches(dataset: SegDataset, batch_size: int = 1):
-    """Eval-order iterator (SequentialSampler, batch 1 in the reference)."""
-    for i in range(0, len(dataset), batch_size):
-        idx = list(range(i, min(i + batch_size, len(dataset))))
-        yield idx, dataset.batch(idx)
+def sequential_batches(dataset: SegDataset, batch_size: int = 1,
+                       decode_workers: int = 1):
+    """Eval-order iterator (SequentialSampler, batch 1 in the reference).
+
+    ``decode_workers > 1`` decodes the items of each batch on a thread pool
+    — PNG/TIFF decompression releases the GIL, so on a multi-core serving
+    host the decode stops serializing the pipeline (this 1-core dev host
+    shows no gain; the knob exists for deployment, VERDICT r2 item 7)."""
+    ex = None
+    if decode_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(decode_workers)
+    try:
+        for i in range(0, len(dataset), batch_size):
+            idx = list(range(i, min(i + batch_size, len(dataset))))
+            if ex is None:
+                yield idx, dataset.batch(idx)
+            else:
+                items = list(ex.map(lambda j: dataset.item(int(j)), idx))
+                yield idx, {
+                    k: np.stack([it[k] for it in items]) for k in items[0]
+                }
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=False)
 
 
 def kfold_indices(n: int, k: int = 10, fold: int = 0, seed: int = 2333):

@@ -21,7 +21,8 @@ from uemda_tpu.ops.metrics import PixelMetricSummary, confusion_matrix
 from uemda_tpu.utils.viz import VisualizeSegmm
 
 
-def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
+def device_batches(dataset, batch_size, mesh=None, depth: int = 2,
+                   decode_workers: int = 1):
     """Stream ``(indices, images_on_device, n_valid, label_np)`` with decode,
     batch-padding and the host->device copy done in a background thread so
     transfer overlaps the previous batch's compute (double buffering). The
@@ -29,7 +30,8 @@ def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
     (``uemda/utils/eval.py:40``).
 
     With a mesh the batch is rounded up to a multiple of the device count
-    (the shared invariant for sharding the leading axis)."""
+    (the shared invariant for sharding the leading axis).
+    ``decode_workers``: per-batch thread-pool decode (multi-core hosts)."""
     import jax
 
     if mesh is not None:
@@ -38,7 +40,9 @@ def device_batches(dataset, batch_size, mesh=None, depth: int = 2):
         batch_size -= batch_size % n_dev
 
     def gen():
-        for indices, batch in sequential_batches(dataset, batch_size):
+        for indices, batch in sequential_batches(
+            dataset, batch_size, decode_workers=decode_workers
+        ):
             # keep the decoded uint8 — normalize casts to f32 on device,
             # so the transfer ships 4x fewer bytes
             images = np.asarray(batch["image"])
@@ -99,10 +103,12 @@ def evaluate_dataset(
     compute_dtype: str = "bfloat16",
     logger=None,
     mesh=None,
+    decode_workers: int = 1,
 ):
     """``mesh``: optional data mesh — images shard across chips, variables
     replicate; XLA partitions the whole slide+TTA program (the multi-chip
-    eval the single-GPU reference cannot express)."""
+    eval the single-GPU reference cannot express).
+    ``decode_workers``: host-side decode thread pool (multi-core hosts)."""
     meta = dataset.meta
     if mesh is not None:
         from uemda_tpu.parallel import shard_pytree_replicated
@@ -113,7 +119,9 @@ def evaluate_dataset(
     cm = jnp.zeros((meta.num_classes, meta.num_classes), jnp.int32)
     viz = VisualizeSegmm(vis_dir, meta.palette) if vis_dir else None
 
-    for indices, images, n, label_np in device_batches(dataset, batch_size, mesh):
+    for indices, images, n, label_np in device_batches(
+        dataset, batch_size, mesh, decode_workers=decode_workers
+    ):
         if predictor is None or images.shape[1:3] != hw:
             hw = images.shape[1:3]
             predictor = make_predictor(

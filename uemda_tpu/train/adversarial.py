@@ -30,6 +30,20 @@ class AdvState:
     d_opt: Any
     d_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
+    # delegation so run_training_loop / maybe_resume drive an AdvState like
+    # any TrainState (step counter, profiler readback, eval checkpointing)
+    @property
+    def step(self):
+        return self.seg.step
+
+    @property
+    def params(self):
+        return self.seg.params
+
+    @property
+    def batch_stats(self):
+        return self.seg.batch_stats
+
 
 def create_adv_state(seg_state: TrainState, num_classes: int,
                      d_lr: float = 1e-4, crop=(512, 512)) -> AdvState:

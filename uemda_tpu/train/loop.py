@@ -140,8 +140,8 @@ class LoopHooks:
     # dispatch-latency-bound hosts this recovers the pure device rate
     # (68 -> 40 ms/step measured through the axon tunnel, PERF_NOTES.md).
     # Math, PRNG sequence and log/eval cadences are identical to K=1 —
-    # chunks clamp at every boundary. Single-process only (ignored with a
-    # warning under multi-host).
+    # chunks clamp at every boundary. Under --multihost the K process-local
+    # chunks stack on host before global-array assembly (_stack_global).
     steps_per_call: int = 1
 
 
@@ -177,16 +177,21 @@ def _deadline(fn, timeout_s: float, what: str):
     return val
 
 
-def _device_iter(iterator, mesh, depth: int = 2):
+def _device_iter(iterator, mesh, depth: int = 2, host_only: bool = False):
     """Second prefetch stage: pull host batches and device_put (or
     mesh-shard) them on a worker thread so upload overlaps compute.
 
     Composes with the decode prefetch (datasets/prefetch.py) — the worker
     here is that stage's single consumer, so the queue handoff stays
-    race-free."""
+    race-free.  ``host_only`` keeps batches on host (multi-host chunked
+    path: the loop stacks K process-local batches BEFORE assembling the
+    global array, so only the prefetch overlap is kept here)."""
     from uemda_tpu.datasets.prefetch import prefetch
 
-    if mesh is not None:
+    if host_only:
+        def put(b):
+            return b
+    elif mesh is not None:
         def put(b):
             return shard_batch(mesh, b)
     else:
@@ -200,6 +205,25 @@ def _stack_batches(batches):
     """K device batches -> one pytree with a new leading K axis (device
     concat; small next to the K steps it feeds)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def _stack_global(mesh, batches):
+    """Multi-host chunked path: K PROCESS-LOCAL host batches -> one global
+    (K, B_global, ...) tree with axis 1 sharded along 'data'. The stack
+    happens on host BEFORE ``make_array_from_process_local_data`` — each
+    process contributes its rows of all K chunks in one assembly, so the
+    scanned multi-step sees exactly the batch sequence K=1 would have fed
+    (closes VERDICT r2's silent K=1 fallback)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    return jax.tree.map(
+        lambda *xs: jax.make_array_from_process_local_data(
+            sharding, np.stack([np.asarray(x) for x in xs])
+        ),
+        *batches,
+    )
 
 
 # one multi-step jit per (step_fn, with_target) for the PROCESS lifetime:
@@ -282,9 +306,14 @@ def run_training_loop(
     # path — the TPU analog of DataLoader pin_memory + non_blocking copies
     # the reference never uses (uemda/tools/train_src.py:120 blocks on
     # .cuda() per batch).  With a mesh this is also where batches shard.
-    source_iter = _device_iter(source_iter, mesh)
+    k_max = max(1, int(hooks.steps_per_call))
+    # multi-host + chunking: keep batches on host so K process-local chunks
+    # stack BEFORE global-array assembly (_stack_global); k==1 iterations
+    # then shard on the main thread — the worker still overlaps the decode
+    host_mode = k_max > 1 and jax.process_count() > 1
+    source_iter = _device_iter(source_iter, mesh, host_only=host_mode)
     if target_iter is not None:
-        target_iter = _device_iter(target_iter, mesh)
+        target_iter = _device_iter(target_iter, mesh, host_only=host_mode)
     # multi-host: logging / metric readback / eval / checkpointing run on
     # process 0 only (the step itself is SPMD across all processes; eval and
     # saves are process-local, so skipping them elsewhere cannot desync any
@@ -314,16 +343,17 @@ def run_training_loop(
         state = shard_pytree_replicated(mesh, state)
     profiling = False
     saver = None
-    k_max = max(1, int(hooks.steps_per_call))
-    if k_max > 1 and jax.process_count() > 1:
-        logger.info("steps_per_call > 1 is single-process only; using 1")
-        k_max = 1
     multi_step = (_make_multi_step(step_fn, target_iter is not None)
                   if k_max > 1 else None)
     # the profiler window is RELATIVE to where this loop starts, so a
     # resumed run (start_step > 0) still produces a trace instead of
     # silently arming a window it can never reach (which would also pin
-    # the chunked path to K=1 forever)
+    # the chunked path to K=1 forever). Runs shorter than 2 steps can't
+    # fit a [start, stop) window — don't arm at all (an armed-but-never-
+    # stopped trace leaks the profiler session and writes nothing).
+    if profile_dir is not None and stop_steps - start_step < 2:
+        logger.info("profiler needs >= 2 steps; skipping trace")
+        profile_dir = None
     trace_start = start_step + min(10, max(stop_steps - start_step - 2, 0))
     trace_stop = start_step + min(15, max(stop_steps - start_step - 1, 1))
     i = start_step
@@ -357,13 +387,19 @@ def run_training_loop(
             if fit >= k_max:
                 k = k_max
         if k > 1:
-            bs = _stack_batches([next(source_iter) for _ in range(k)])
-            bt = (_stack_batches([next(target_iter) for _ in range(k)])
+            stack = ((lambda b: _stack_global(mesh, b)) if host_mode
+                     else _stack_batches)
+            bs = stack([next(source_iter) for _ in range(k)])
+            bt = (stack([next(target_iter) for _ in range(k)])
                   if target_iter is not None else None)
             state, metrics = multi_step(state, bs, bt, key0, i)
         else:
             batch_s = next(source_iter)
             batch_t = next(target_iter) if target_iter is not None else None
+            if host_mode:
+                batch_s = shard_batch(mesh, batch_s)
+                if batch_t is not None:
+                    batch_t = shard_batch(mesh, batch_t)
             sub = jax.random.fold_in(key0, i)
             if batch_t is not None:
                 state, metrics = step_fn(state, batch_s, batch_t, sub)
@@ -412,6 +448,11 @@ def run_training_loop(
                 f"(best {miou_max:.5f} @ iter {iter_max})"
             )
             log_jsonl({"step": i, "miou": miou})
+    if profiling:
+        # belt-and-braces: never leave an open profiler session behind
+        float(jax.tree.leaves(state.params)[0].mean())
+        jax.profiler.stop_trace()
+        logger.info("profiler trace closed at loop end")
     if main and hooks.state_path:
         def final_save():
             if saver is not None:
@@ -562,7 +603,12 @@ def default_hparams(cfg: PairConfig, **overrides) -> StageHParams:
 
 
 def _max_segments_for(cfg: PairConfig) -> int:
-    # LSC region_size 16 on a crop => <= (h/16)*(w/16) ids + 1 boundary id,
-    # rounded up for id-count jitter (superpixels.py:129-133)
-    h, w = cfg.crop
+    # LSC region_size 16 => <= (h/16)*(w/16) ids + 1 boundary id, rounded up
+    # for id-count jitter (superpixels.py:129-133). Ids are numbered over
+    # the FULL image (generate_superpixels runs pre-crop), so when images
+    # are larger than the crop (LoveDA: 1024^2 images, 512 crops) the bound
+    # must come from the image size — a crop-sized bound would silently
+    # drop high-id segments in the XLA segment reductions.
+    h = max(cfg.crop[0], cfg.meta.size[0])
+    w = max(cfg.crop[1], cfg.meta.size[1])
     return (h // 16) * (w // 16) + 32
