@@ -189,6 +189,31 @@ def main():
         )
         return
 
+    # train-step throughput in the round artifact (VERDICT r2 item 6): a
+    # regression in any stage's step time now shows up in BENCH_r{N}.json,
+    # not only in PERF_NOTES. Times include the axon tunnel RTT on the
+    # per-step readback (the loop's real dispatch regime at K=1).
+    train_note = ""
+    if on_tpu:
+        try:
+            from tools.bench_suite import bench_train_steps
+            from uemda_tpu.config import load_config
+
+            tb = 8  # the reference schedule's batch size
+            tms = bench_train_steps(load_config("2vaihingen"), model,
+                                    variables, reps=2, batch=tb)
+            train_note = (
+                "train (b8, ms/step incl. tunnel RTT): "
+                + ", ".join(f"{k.split('_')[0]}={v:.1f}"
+                            for k, v in tms.items())
+                + "; train img/s/chip: "
+                + ", ".join(f"{k.split('_')[0]}={tb / (v / 1000):.1f}"
+                            for k, v in tms.items())
+                + "; "
+            )
+        except Exception as e:
+            train_note = f"train bench failed: {type(e).__name__}: {e}; "
+
     print(
         json.dumps(
             {
@@ -201,6 +226,7 @@ def main():
                     4,
                 ),
                 "note": f"serving mode {best_mode}; "
+                + train_note
                 + (
                     f"exact-math {exact_mode}={round(exact_tiles, 1)} tiles/s "
                     f"(vs_baseline {round(exact_tiles / (TARGET_MULTIPLIER * A100_REFERENCE_TILES_PER_SEC), 4)}); "

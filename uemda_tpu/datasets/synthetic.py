@@ -21,13 +21,29 @@ def _blocky_labels(rng, hw: int, num_classes: int, cell: int = 16) -> np.ndarray
     return np.kron(g, np.ones((cell, cell), np.int64)).astype(np.int32)
 
 
-def _render(rng, label: np.ndarray, num_classes: int, shift: float = 0.0):
-    """Class-colored image with noise; `shift` emulates a domain gap."""
+def _render(rng, label: np.ndarray, num_classes: int, shift: float = 0.0,
+            noise: float = 12.0, palette_mix: float = 0.0):
+    """Class-colored image with noise; `shift` emulates a domain gap.
+
+    Harder-shift knobs (VERDICT r2 item 2 — a gap where label refinement
+    has something to fix):
+      * ``noise``: pixel noise sigma. Raised past the ~29/255 palette step,
+        per-pixel class evidence becomes ambiguous while the 16px block
+        identity stays recoverable by pooling — exactly the salt-and-pepper
+        pseudo-label error mode superpixel/prototype refinement repairs.
+      * ``palette_mix``: rotate each class's color toward the NEXT class's
+        by this fraction (class-conditional color swap) — a systematic
+        confusion between adjacent classes, not just a global shift.
+    """
     palette = (
         np.linspace(40, 215, num_classes)[:, None]
         * np.array([[1.0, 0.8, 0.6]])
     )  # (C, 3)
-    img = palette[label] + rng.normal(0, 12, size=label.shape + (3,))
+    if palette_mix > 0.0:
+        palette = (1.0 - palette_mix) * palette + palette_mix * np.roll(
+            palette, -1, axis=0
+        )
+    img = palette[label] + rng.normal(0, noise, size=label.shape + (3,))
     img = img + shift
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -41,10 +57,17 @@ def make_synthetic_dataset(
     seed: int = 0,
     domain_shift: float = 0.0,
     with_sup: bool = True,
+    pad_border: int = 0,
+    noise: float = 12.0,
+    palette_mix: float = 0.0,
 ) -> Tuple[str, str]:
     """Returns (img_dir_train, ann_dir_train); also writes val split and
     superpixel maps (regular grid with a boundary ring carrying the max id,
-    mirroring the LSC + edge-shrink output)."""
+    mirroring the LSC + edge-shrink output).
+
+    ``pad_border``: black out a border of this many pixels and write raw
+    mask 0 there — the LoveDA padding convention (``loveda.py:43-46``: raw
+    0 maps to ignore via offset -1). Only meaningful for offset=-1 metas."""
     rng = np.random.default_rng(seed)
     for split, n in (("train", n_train), ("val", n_val)):
         img_dir = os.path.join(root, "img_dir", split)
@@ -56,11 +79,18 @@ def make_synthetic_dataset(
             os.makedirs(sup_dir, exist_ok=True)
         for i in range(n):
             label = _blocky_labels(rng, hw, meta.num_classes)
-            img = _render(rng, label, meta.num_classes, shift=domain_shift)
+            img = _render(rng, label, meta.num_classes, shift=domain_shift,
+                          noise=noise, palette_mix=palette_mix)
             name = f"tile_{i:03d}"
-            Image.fromarray(img).save(os.path.join(img_dir, name + ".png"))
             # raw mask = label - offset (read_mask adds offset back)
             raw = (label - meta.offset).astype(np.uint8)
+            if pad_border > 0 and i % 2 == 0:  # half the tiles carry padding
+                pb = pad_border
+                for sl in ((slice(None, pb), slice(None)),
+                           (slice(None), slice(None, pb))):
+                    raw[sl] = 0
+                    img[sl] = 0
+            Image.fromarray(img).save(os.path.join(img_dir, name + ".png"))
             Image.fromarray(raw).save(os.path.join(ann_dir, name + ".png"))
             if with_sup:
                 cell = 16
