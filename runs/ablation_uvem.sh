@@ -1,0 +1,72 @@
+#!/bin/bash
+# Flagship-method ablation on the real TPU (VERDICT r2 item 2): on a shift
+# hard enough that refinement matters (runs/ablation_config.py), show
+#   (a) stage-2 (align_uem) and stage-3 (ssl/uvem) improve over stage-1,
+#   (b) label refinement improves pseudo-label accuracy at fixed coverage
+#       (tools/refine_quality.py, per view: none/p/l/s/all),
+#   (c) UVEM+refine >= CE / UPS / CutMix on the same stage-2 checkpoint.
+# Summarize /tmp/uemda_abl/*/best.json + the refine_quality JSON into
+# runs/tpu_results/ablation_uvem.md.
+set -eux
+cd "$(dirname "$0")/.."
+P=runs/ablation_config.py
+ROOT=/tmp/uemda_abl
+BASE=$ROOT/log
+
+retry() {
+    local n=0
+    until "$@"; do
+        n=$((n + 1))
+        [ $n -ge 6 ] && return 1
+        echo "RETRY($n) after failure: $*" >&2
+        sleep 60
+    done
+}
+
+retry_train() { retry "$@" --resume auto; }
+
+# ---- shared trunk: stage 1 + prototypes + stage 2 + prototypes ----
+export UEMDA_ABL_LOG=$BASE
+retry_train python tools/train_src.py --config-path $P --align-domain 1
+retry python tools/init_prototypes.py --config-path $P --stage 1 \
+    --ckpt-model $BASE/src/SynthTarget_best.msgpack \
+    --ckpt-proto $BASE/src/prototypes_init.msgpack
+retry_train python tools/train_align_uem.py --config-path $P --align-domain 1 \
+    --gen 1 --refine-label 1 \
+    --ckpt-model $BASE/src/SynthTarget_best.msgpack \
+    --ckpt-proto $BASE/src/prototypes_init.msgpack
+retry python tools/init_prototypes.py --config-path $P --stage 2 \
+    --ckpt-model $BASE/align/SynthTarget_best.msgpack \
+    --ckpt-proto $BASE/align/prototypes_init.msgpack
+
+# ---- stage-3 variants from the SAME stage-2 checkpoint ----
+s3() {  # s3 <logdir> <trainer args...>
+    local log=$1; shift
+    UEMDA_ABL_LOG=$ROOT/$log retry_train python tools/train_ssl_uem.py \
+        --config-path $P "$@" \
+        --ckpt-model $BASE/align/SynthTarget_best.msgpack \
+        --ckpt-proto $BASE/align/prototypes_init.msgpack
+}
+s3 v_uvem_refine --gen 1 --refine-label 1 --lt uvem
+s3 v_uvem_norefine --gen 1 --refine-label 0 --lt uvem
+s3 v_ce --gen 1 --refine-label 0 --lt ce
+s3 v_ups --gen 1 --refine-label 0 --lt ups
+UEMDA_ABL_LOG=$ROOT/v_cutmix retry_train python tools/train_ssl_mix.py \
+    --config-path $P --mix cutmix --gen 1 \
+    --ckpt-model $BASE/align/SynthTarget_best.msgpack
+
+# ---- (b) refinement quality on the stage-3 pseudo labels ----
+UEMDA_ABL_LOG=$ROOT/v_uvem_refine python tools/refine_quality.py \
+    --config-path $P \
+    --ckpt-model $BASE/align/SynthTarget_best.msgpack \
+    --ckpt-proto $BASE/align/prototypes_init.msgpack \
+    --pseudo-dir $ROOT/v_uvem_refine/pseudo_label \
+    | tee $ROOT/refine_quality.json
+
+# ---- collect ----
+for d in $BASE/src $BASE/align $ROOT/v_uvem_refine/ssl \
+         $ROOT/v_uvem_norefine/ssl $ROOT/v_ce/ssl $ROOT/v_ups/ssl \
+         $ROOT/v_cutmix/cutmix; do
+    echo "== $d"; cat $d/best.json 2>/dev/null || echo "missing"
+done
+echo "ABLATION_DONE"
