@@ -76,3 +76,22 @@ print("HELP_OK", ok)
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "HELP_OK 24" in out.stdout
+
+
+def test_parse_int8_stages_flag_validation():
+    """Early CLI guard (ADVICE r2): bad values fail fast, the flag is
+    rejected when it would be silently ignored, good values parse."""
+    import pytest
+
+    from uemda_tpu.infer.fastpath import parse_int8_stages_flag
+
+    assert parse_int8_stages_flag("", False, False) is None
+    assert parse_int8_stages_flag("1,2,3,4", True, True) == (1, 2, 3, 4)
+    assert parse_int8_stages_flag(" 3 , 4 ", True, True) == (3, 4)
+    for bad_args in [("3,4", False, True),   # needs --int8
+                     ("3,4", True, False),   # needs --fastpath
+                     ("0,5", True, True),    # out of range
+                     ("x", True, True),      # not ints
+                     (",", True, True)]:     # empty list
+        with pytest.raises(SystemExit):
+            parse_int8_stages_flag(*bad_args)

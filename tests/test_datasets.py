@@ -155,3 +155,45 @@ def test_infinite_batches_skip_fast_forward(synth):
     for a, b in zip(full[4:], skipped):
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_sequential_batches_decode_pool_matches_serial(synth):
+    """--decode-workers path (VERDICT r2 item 7): the thread-pool decode
+    yields byte-identical batches in the same order as the serial path."""
+    root, img_dir, ann_dir = synth
+    ds = SegDataset(IsprsDA, img_dir, ann_dir)
+    serial = list(sequential_batches(ds, 4))
+    pooled = list(sequential_batches(ds, 4, decode_workers=3))
+    assert len(serial) == len(pooled)
+    for (i1, b1), (i2, b2) in zip(serial, pooled):
+        assert i1 == i2 and set(b1) == set(b2)
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k])
+
+
+def test_synthetic_hard_shift_knobs(tmp_path):
+    """noise / palette_mix / pad_border generator knobs (ablation + LoveDA
+    semantics): padding reads back as ignore, harder target renders differ."""
+    from uemda_tpu.datasets.meta import LoveDA
+
+    make_synthetic_dataset(str(tmp_path / "a"), LoveDA, n_train=2, n_val=1,
+                           hw=64, seed=3, pad_border=8)
+    ds = SegDataset(LoveDA, str(tmp_path / "a" / "img_dir" / "train"),
+                    str(tmp_path / "a" / "ann_dir" / "train"))
+    item = ds.item(0)  # even index -> carries the padding border
+    assert (item["label"][:8, :] == -1).all()
+    assert (item["image"][:8, :] == 0).all()
+    assert item["label"].max() <= 6 and item["label"].min() >= -1
+
+    make_synthetic_dataset(str(tmp_path / "b"), IsprsDA, n_train=1, n_val=1,
+                           hw=64, seed=3)
+    make_synthetic_dataset(str(tmp_path / "c"), IsprsDA, n_train=1, n_val=1,
+                           hw=64, seed=3, noise=45.0, palette_mix=0.25)
+    clean = SegDataset(IsprsDA, str(tmp_path / "b" / "img_dir" / "train"),
+                       str(tmp_path / "b" / "ann_dir" / "train")).item(0)
+    hard = SegDataset(IsprsDA, str(tmp_path / "c" / "img_dir" / "train"),
+                      str(tmp_path / "c" / "ann_dir" / "train")).item(0)
+    np.testing.assert_array_equal(clean["label"], hard["label"])  # same layout
+    # the harder render is a genuinely different image with more variance
+    assert float(np.abs(clean["image"].astype(np.int32)
+                        - hard["image"].astype(np.int32)).mean()) > 5.0
