@@ -23,7 +23,9 @@ retry() {
     done
 }
 
-retry_train() { retry "$@" --resume auto; }
+# K=4 jitted steps per dispatch (identity-tested vs K=1; eval_every=300 and
+# gene_every=600 are multiples of 4) — cuts tunnel-dispatch wall time.
+retry_train() { retry "$@" --resume auto --steps-per-call 4; }
 
 # ---- shared trunk: stage 1 + prototypes + stage 2 + prototypes ----
 export UEMDA_ABL_LOG=$BASE

@@ -22,7 +22,9 @@ retry() {  # retry "$@" until it exits 0 (max 6 tries)
     done
 }
 
-retry_train() { retry "$@" --resume auto; }
+# K=4 jitted steps per dispatch (identity-tested vs K=1; eval_every=200 and
+# gene_every=400 are multiples of 4) — cuts tunnel-dispatch wall time.
+retry_train() { retry "$@" --resume auto --steps-per-call 4; }
 
 retry_train python tools/train_src.py --config-path $P --align-domain 1
 retry python tools/init_prototypes.py --config-path $P --stage 1 \
