@@ -1,0 +1,81 @@
+"""Peak device memory + throughput probe for the pseudo-gen sweep.
+
+VERDICT r2 item 1 asks for a pseudo-gen throughput and peak-memory note at
+the LoveDA geometry (1024² tiles, 3×3-window slide + 8-view TTA —
+``uemda/utils/tools.py:61-97``). This drives the real sweep
+(:func:`uemda_tpu.infer.pseudo_gen.generate_pseudo_labels`) over a config's
+target split and prints one JSON line with images/s and the device
+``memory_stats()`` peak (None on backends that don't expose it).
+
+Usage:
+    python tools/mem_probe.py --config-path runs/loveda_synth_config.py \
+        --ckpt-model /tmp/uemda_loveda/log/align/SynthUrban_best.msgpack
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+
+from uemda_tpu.config import load_config
+from uemda_tpu.datasets.base import SegDataset
+from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
+from uemda_tpu.train.checkpoints import load_checkpoint
+from uemda_tpu.train.loop import build_model, init_variables
+from uemda_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config-path", type=str, required=True)
+    parser.add_argument("--ckpt-model", type=str, default=None,
+                        help="optional checkpoint (random init otherwise — "
+                        "memory/throughput are weight-independent)")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--tile", type=int, default=512)
+    parser.add_argument("--fastpath", type=int, default=0)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config_path)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+    if args.ckpt_model:
+        variables = load_checkpoint(args.ckpt_model, variables)
+
+    ds = SegDataset(cfg.meta, cfg.target.image_dir, cfg.target.mask_dir)
+    dev = jax.devices()[0]
+
+    t0 = time.time()
+    out = generate_pseudo_labels(
+        model, variables, ds, cfg.target.mean, cfg.target.std,
+        tile=(args.tile, args.tile), batch_size=args.batch_size,
+        fastpath=bool(args.fastpath),
+    )
+    dt = time.time() - t0  # the host fp16 readback in the loop synchronizes
+
+    stats = dev.memory_stats() or {}
+    sample = next(iter(out.values()))
+    print(json.dumps({
+        "n_images": len(out),
+        "image_hw": list(sample.shape[:2]),
+        "tile": args.tile,
+        "batch_size": args.batch_size,
+        "tta_views": 8,
+        "wall_s_incl_compile": round(dt, 2),
+        "images_per_sec": round(len(out) / dt, 3),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        "bytes_limit": stats.get("bytes_limit"),
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()
