@@ -56,7 +56,8 @@ tools = [  # train_ssl is a __main__-only delegator, exercised by e2e runs
     "vis_pseudo_labels", "vis_corrected_pseudo_labels", "tsne_dataset",
     "tsne_img", "generate_superpixels", "convert_datasets", "statistic",
     "class_distribution", "port_weights", "bench_suite", "run_pipeline",
-    "serving_gate",
+    "serving_gate", "refine_quality", "real_data_gate", "profile_summary",
+    "mem_probe",
 ]
 ok = 0
 for t in tools:
@@ -75,7 +76,7 @@ print("HELP_OK", ok)
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 0, out.stderr[-3000:]
-    assert "HELP_OK 24" in out.stdout
+    assert "HELP_OK 28" in out.stdout
 
 
 def test_parse_int8_stages_flag_validation():
