@@ -85,9 +85,14 @@ def main():
                     sup=sup, mode=m, temp=args.refine_temp,
                     max_segments=max_segments,
                 )
-            out[m] = pseudo_selection(
+            hard = pseudo_selection(
                 soft, cfg.cutoff_top, cfg.cutoff_low, cfg.ignore_label
             )
+            # per-pixel confidence of the (refined) soft label, for the
+            # coverage-matched comparison: refinement shifts BOTH accuracy
+            # and coverage, so raw accuracies are confounded
+            conf = soft.max(-1) / jnp.maximum(soft.sum(-1), 1e-12)
+            out[m] = (hard, conf)
         return out
 
     ds = SegDataset(cfg.meta, list(cfg.target.image_dir), args.pseudo_dir,
@@ -95,8 +100,11 @@ def main():
     ds_gt = SegDataset(cfg.meta, list(cfg.target.image_dir),
                        list(cfg.target.mask_dir)[0])
 
+    n_bins = 512  # confidence histogram resolution for coverage matching
     kept = {m: 0 for m in modes}
     correct = {m: 0 for m in modes}
+    hist_mined = {m: np.zeros(n_bins, np.int64) for m in modes}
+    hist_correct = {m: np.zeros(n_bins, np.int64) for m in modes}
     total = 0
     for indices, batch in sequential_batches(ds, args.batch_size):
         gt = np.stack([ds_gt.item(int(i))["label"] for i in indices])
@@ -107,22 +115,43 @@ def main():
         valid = gt != cfg.ignore_label
         total += int(valid.sum())
         for m in modes:
-            h = np.asarray(hard[m])
+            h, conf = (np.asarray(hard[m][0]), np.asarray(hard[m][1]))
             mined = (h != cfg.ignore_label) & valid
+            hit = (h == gt) & mined
             kept[m] += int(mined.sum())
-            correct[m] += int(((h == gt) & mined).sum())
+            correct[m] += int(hit.sum())
+            bins = np.clip((conf * n_bins).astype(np.int64), 0, n_bins - 1)
+            hist_mined[m] += np.bincount(bins[mined], minlength=n_bins)
+            hist_correct[m] += np.bincount(bins[hit], minlength=n_bins)
 
-    report = {
-        m: {
+    # coverage-matched accuracy: take each mode's MOST-CONFIDENT pixels down
+    # to the smallest coverage any mode reaches, so modes are compared on
+    # equal footing (the reference's analysis_pseudo_labels reports raw
+    # accuracy/proportion only, pseudo_generation.py:158-235)
+    target_kept = min(kept.values())
+    report = {}
+    for m in modes:
+        cum_mined = np.cumsum(hist_mined[m][::-1])
+        cum_correct = np.cumsum(hist_correct[m][::-1])
+        i = int(np.searchsorted(cum_mined, target_kept))
+        i = min(i, n_bins - 1)
+        report[m] = {
             "accuracy": correct[m] / max(kept[m], 1),
             "coverage": kept[m] / max(total, 1),
+            "acc_at_matched_coverage":
+                float(cum_correct[i]) / max(float(cum_mined[i]), 1.0),
         }
-        for m in modes
-    }
+    report["matched_coverage"] = target_kept / max(total, 1)
     if "none" in report:
-        base = report["none"]["accuracy"]
+        base = report["none"]
         for m in modes:
-            report[m]["acc_delta_vs_none"] = report[m]["accuracy"] - base
+            report[m]["acc_delta_vs_none"] = (
+                report[m]["accuracy"] - base["accuracy"]
+            )
+            report[m]["matched_acc_delta_vs_none"] = (
+                report[m]["acc_at_matched_coverage"]
+                - base["acc_at_matched_coverage"]
+            )
     print(json.dumps(report))
 
 
