@@ -55,6 +55,16 @@ def init_multihost(
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
     jax.distributed.initialize(**kwargs)
+    # Establish the cross-process collective context NOW, while every
+    # process is at the same (cheap) point. The backend's context init has
+    # its own short deadline (Gloo: 30 s per key exchange) — if the first
+    # collective instead fires at a training-time barrier while a peer is
+    # still inside a minutes-long XLA compile, that deadline trips and the
+    # whole run dies (seen as a real flake in the 2-process CPU test under
+    # host contention). One warm-up barrier here removes that window.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("uemda_init_multihost")
 
 
 def process_index() -> int:
