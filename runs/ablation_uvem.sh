@@ -7,7 +7,7 @@
 #   (c) UVEM+refine >= CE / UPS / CutMix on the same stage-2 checkpoint.
 # Summarize /tmp/uemda_abl/*/best.json + the refine_quality JSON into
 # runs/tpu_results/ablation_uvem.md.
-set -eux
+set -euxo pipefail  # pipefail: `refine_quality | tee` must not mask a crash
 cd "$(dirname "$0")/.."
 P=runs/ablation_config.py
 ROOT=/tmp/uemda_abl

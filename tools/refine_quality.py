@@ -133,13 +133,23 @@ def main():
     for m in modes:
         cum_mined = np.cumsum(hist_mined[m][::-1])
         cum_correct = np.cumsum(hist_correct[m][::-1])
-        i = int(np.searchsorted(cum_mined, target_kept))
-        i = min(i, n_bins - 1)
+        i = min(int(np.searchsorted(cum_mined, target_kept)), n_bins - 1)
+        # take full bins above i plus a FRACTION of bin i, so the take is
+        # exactly target_kept pixels even when one bin holds a large mass
+        # (fp16 soft labels saturate max-prob≈1.0 into the top bin)
+        prev_mined = float(cum_mined[i - 1]) if i > 0 else 0.0
+        prev_correct = float(cum_correct[i - 1]) if i > 0 else 0.0
+        bin_mined = float(cum_mined[i]) - prev_mined
+        bin_correct = float(cum_correct[i]) - prev_correct
+        need = max(target_kept - prev_mined, 0.0)
+        matched_correct = prev_correct + (
+            bin_correct * need / bin_mined if bin_mined > 0 else 0.0
+        )
         report[m] = {
             "accuracy": correct[m] / max(kept[m], 1),
             "coverage": kept[m] / max(total, 1),
             "acc_at_matched_coverage":
-                float(cum_correct[i]) / max(float(cum_mined[i]), 1.0),
+                matched_correct / max(float(target_kept), 1.0),
         }
     report["matched_coverage"] = target_kept / max(total, 1)
     if "none" in report:

@@ -58,9 +58,11 @@ def main():
     print()
     for name, traj, best, last_train in stages:
         parts = []
-        if best:
-            parts.append(f"best mIoU {best.get('miou'):.5f} @ iter "
+        if best and best.get("miou") is not None:
+            parts.append(f"best mIoU {best['miou']:.5f} @ iter "
                          f"{best.get('step')}")
+        elif best:
+            parts.append("best.json " + json.dumps(best))
         if last_train:
             parts.append("last train row " + json.dumps(last_train))
         if not traj and not best:
