@@ -96,3 +96,30 @@ def test_parse_int8_stages_flag_validation():
                      (",", True, True)]:     # empty list
         with pytest.raises(SystemExit):
             parse_int8_stages_flag(*bad_args)
+
+
+def test_matched_accuracy_fractional_bin():
+    """Coverage matching must take a FRACTION of the marginal confidence
+    bin (fp16 soft labels saturate the top bin), not the whole bin."""
+    import numpy as np
+
+    from tools.refine_quality import matched_accuracy
+
+    # all mass in the top bin: 100 mined, 60 correct; take 50 -> uniform
+    # within-bin assumption gives 0.6, not 60/100-of-whole-bin at wrong N
+    hm = np.zeros(8, np.int64); hc = np.zeros(8, np.int64)
+    hm[7], hc[7] = 100, 60
+    assert matched_accuracy(hm, hc, 50) == 0.6
+
+    # top bin 10 mined all correct, next bin 90 mined 0 correct;
+    # take 50 -> 10 correct of 50
+    hm = np.zeros(8, np.int64); hc = np.zeros(8, np.int64)
+    hm[7], hc[7] = 10, 10
+    hm[6], hc[6] = 90, 0
+    assert matched_accuracy(hm, hc, 50) == 10 / 50
+
+    # exact full take equals the raw accuracy
+    assert matched_accuracy(hm, hc, 100) == 10 / 100
+
+    # degenerate: empty histograms
+    assert matched_accuracy(np.zeros(8, np.int64), np.zeros(8, np.int64), 0) == 0.0

@@ -42,6 +42,28 @@ from uemda_tpu.utils.runtime import enable_compile_cache
 enable_compile_cache()
 
 
+def matched_accuracy(hist_mined, hist_correct, target_kept):
+    """Accuracy of the most-confident ``target_kept`` pixels, from
+    per-confidence-bin counts (bin 0 = lowest confidence).
+
+    Takes full bins from the top plus a FRACTION of the marginal bin, so
+    the take is exactly ``target_kept`` even when one bin holds a large
+    mass (fp16 soft labels saturate max-prob≈1.0 into the top bin)."""
+    n_bins = len(hist_mined)
+    cum_mined = np.cumsum(hist_mined[::-1])
+    cum_correct = np.cumsum(hist_correct[::-1])
+    i = min(int(np.searchsorted(cum_mined, target_kept)), n_bins - 1)
+    prev_mined = float(cum_mined[i - 1]) if i > 0 else 0.0
+    prev_correct = float(cum_correct[i - 1]) if i > 0 else 0.0
+    bin_mined = float(cum_mined[i]) - prev_mined
+    bin_correct = float(cum_correct[i]) - prev_correct
+    need = max(target_kept - prev_mined, 0.0)
+    matched_correct = prev_correct + (
+        bin_correct * need / bin_mined if bin_mined > 0 else 0.0
+    )
+    return matched_correct / max(float(target_kept), 1.0)
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Score refined pseudo labels against target GT."
@@ -131,25 +153,11 @@ def main():
     target_kept = min(kept.values())
     report = {}
     for m in modes:
-        cum_mined = np.cumsum(hist_mined[m][::-1])
-        cum_correct = np.cumsum(hist_correct[m][::-1])
-        i = min(int(np.searchsorted(cum_mined, target_kept)), n_bins - 1)
-        # take full bins above i plus a FRACTION of bin i, so the take is
-        # exactly target_kept pixels even when one bin holds a large mass
-        # (fp16 soft labels saturate max-prob≈1.0 into the top bin)
-        prev_mined = float(cum_mined[i - 1]) if i > 0 else 0.0
-        prev_correct = float(cum_correct[i - 1]) if i > 0 else 0.0
-        bin_mined = float(cum_mined[i]) - prev_mined
-        bin_correct = float(cum_correct[i]) - prev_correct
-        need = max(target_kept - prev_mined, 0.0)
-        matched_correct = prev_correct + (
-            bin_correct * need / bin_mined if bin_mined > 0 else 0.0
-        )
         report[m] = {
             "accuracy": correct[m] / max(kept[m], 1),
             "coverage": kept[m] / max(total, 1),
             "acc_at_matched_coverage":
-                matched_correct / max(float(target_kept), 1.0),
+                matched_accuracy(hist_mined[m], hist_correct[m], target_kept),
         }
     report["matched_coverage"] = target_kept / max(total, 1)
     if "none" in report:
