@@ -46,7 +46,10 @@ def _probe_devices(timeout_s: float = 300.0):
 
 
 def main():
-    if _probe_devices() is None:
+    # two probes: a transient tunnel stall at the first attempt must not
+    # zero the round artifact (the tunnel recovers between processes more
+    # often than within one — STATUS.md r3 outage log)
+    if _probe_devices() is None and _probe_devices(240.0) is None:
         print(
             json.dumps(
                 {
@@ -54,8 +57,9 @@ def main():
                     "value": 0.0,
                     "unit": "tiles/s",
                     "vs_baseline": 0.0,
-                    "note": "tpu tunnel unreachable (device probe timed out); "
-                    "last measured 755 tiles/s — see docs/PERF_NOTES.md",
+                    "note": "tpu tunnel unreachable (device probe timed out "
+                    "twice); last measured 1319.9 tiles/s headline / 1066.3 "
+                    "exact-math (BENCH_r02.json) — see docs/PERF_NOTES.md",
                 }
             )
         )
