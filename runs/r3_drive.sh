@@ -11,15 +11,18 @@ set -ux
 cd "$(dirname "$0")/.."
 
 wait_for_tpu() {
-    for i in $(seq 1 60); do
+    # Patient probing: killed TPU processes degrade the tunnel (CLAUDE.md),
+    # so give PJRT init 30 min to succeed rather than killing a hung init
+    # every few minutes and possibly re-poisoning the relay.
+    for i in $(seq 1 16); do
         echo "tpu-wait attempt $i $(date -u +%H:%M:%S)"
-        timeout 420 python -u -c "
+        timeout 1800 python -u -c "
 import jax
 d = jax.devices()
 x = jax.numpy.ones((256, 256)); y = x @ x
 print('TPU_OK', d, float(y.mean()), flush=True)
 " && return 0
-        sleep 120
+        sleep 300
     done
     return 1
 }
