@@ -50,20 +50,26 @@ s3() {  # s3 <logdir> <trainer args...>
         --ckpt-proto $BASE/align/prototypes_init.msgpack
 }
 s3 v_uvem_refine --gen 1 --refine-label 1 --lt uvem
+
+# ---- (b) refinement quality on the stage-3 pseudo labels ----
+# Runs as soon as v_uvem_refine's gen pass has stored them (claim b is the
+# heart of the flagship demonstration — don't leave it until after every
+# baseline variant in case the session runs out of wall clock). Non-fatal:
+# a failure here must not kill the remaining variants under set -e.
+(UEMDA_ABL_LOG=$ROOT/v_uvem_refine retry python tools/refine_quality.py \
+    --config-path $P \
+    --ckpt-model $BASE/align/SynthTarget_best.msgpack \
+    --ckpt-proto $BASE/align/prototypes_init.msgpack \
+    --pseudo-dir $ROOT/v_uvem_refine/pseudo_label \
+    | tee $ROOT/refine_quality.json) \
+    || echo "REFINE_QUALITY_FAILED rc=$?"
+
 s3 v_uvem_norefine --gen 1 --refine-label 0 --lt uvem
 s3 v_ce --gen 1 --refine-label 0 --lt ce
 s3 v_ups --gen 1 --refine-label 0 --lt ups
 UEMDA_ABL_LOG=$ROOT/v_cutmix retry_train python tools/train_ssl_mix.py \
     --config-path $P --mix cutmix --gen 1 \
     --ckpt-model $BASE/align/SynthTarget_best.msgpack
-
-# ---- (b) refinement quality on the stage-3 pseudo labels ----
-UEMDA_ABL_LOG=$ROOT/v_uvem_refine python tools/refine_quality.py \
-    --config-path $P \
-    --ckpt-model $BASE/align/SynthTarget_best.msgpack \
-    --ckpt-proto $BASE/align/prototypes_init.msgpack \
-    --pseudo-dir $ROOT/v_uvem_refine/pseudo_label \
-    | tee $ROOT/refine_quality.json
 
 # ---- collect ----
 for d in $BASE/src $BASE/align $ROOT/v_uvem_refine/ssl \
