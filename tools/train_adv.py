@@ -26,6 +26,7 @@ from uemda_tpu.parallel.multihost import (
 )
 from uemda_tpu.train.adversarial import create_adv_state, make_adv_step
 from uemda_tpu.train.loop import (
+    host_crop_of,
     LoopHooks,
     add_loop_flags,
     build_model,
@@ -97,8 +98,10 @@ def main():
 
     mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
-    src_iter, _ = make_source_iter(cfg, skip=start_step)
-    tgt_iter, _ = make_target_iter(cfg, label_type="none", skip=start_step)
+    hc = host_crop_of(args, cfg)
+    src_iter, _ = make_source_iter(cfg, skip=start_step, host_crop=hc)
+    tgt_iter, _ = make_target_iter(cfg, label_type="none", skip=start_step,
+                                   host_crop=hc)
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
     hooks = LoopHooks(
         eval_every=cfg.eval_every,

@@ -25,6 +25,7 @@ from uemda_tpu.parallel.multihost import (
 )
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (add_loop_flags,
+    host_crop_of,
     LoopHooks,
     build_model,
     build_state,
@@ -113,10 +114,11 @@ def main():
 
     mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
-    src_iter, _ = make_source_iter(cfg, skip=start_step)
+    hc = host_crop_of(args, cfg)
+    src_iter, _ = make_source_iter(cfg, skip=start_step, host_crop=hc)
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
     tgt_iter, _ = make_target_iter(cfg, label_type="none", read_sup=need_sup,
-                                   skip=start_step)
+                                   skip=start_step, host_crop=hc)
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)
     hooks = LoopHooks(eval_every=cfg.eval_every, eval_fn=eval_fn,
                       steps_per_call=args.steps_per_call,

@@ -24,6 +24,7 @@ from uemda_tpu.parallel.multihost import (
 )
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (add_loop_flags,
+    host_crop_of,
     LoopHooks,
     build_model,
     build_state,
@@ -97,7 +98,8 @@ def main():
 
     mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
-    src_iter, _ = make_source_iter(cfg, skip=start_step)
+    hc = host_crop_of(args, cfg)
+    src_iter, _ = make_source_iter(cfg, skip=start_step, host_crop=hc)
     pseudo_dir = os.path.join(run_dir, "..", "pseudo_label")
     gen_ds = SegDataset(
         cfg.meta, list(cfg.target.image_dir), None, label_type="none"
@@ -116,7 +118,7 @@ def main():
         )
         return infinite_batches(
             ds, cfg.target.batch_size, seed=1, skip_batches=skip,
-            process_shard=process_shard(cfg.target.batch_size),
+            process_shard=process_shard(cfg.target.batch_size), host_crop=hc,
         )
 
     first_chunk = min(cfg.gene_every, stop_steps)

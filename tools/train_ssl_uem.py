@@ -27,6 +27,7 @@ from uemda_tpu.parallel.multihost import (
 )
 from uemda_tpu.train.checkpoints import load_checkpoint
 from uemda_tpu.train.loop import (add_loop_flags,
+    host_crop_of,
     LoopHooks,
     build_model,
     build_state,
@@ -147,7 +148,8 @@ def main():
     )
     step_fn = make_ssl_step(model, hp)
 
-    src_iter, _ = make_source_iter(cfg, skip=start_step)
+    hc = host_crop_of(args, cfg)
+    src_iter, _ = make_source_iter(cfg, skip=start_step, host_crop=hc)
     need_sup = args.refine_mode in ("all", "s") and bool(args.refine_label)
     tgt_ds = SegDataset(
         cfg.meta, list(cfg.target.image_dir), pseudo_dir,
@@ -155,7 +157,7 @@ def main():
     )
     tgt_iter = infinite_batches(
         tgt_ds, cfg.target.batch_size, seed=1, skip_batches=start_step,
-        process_shard=process_shard(cfg.target.batch_size),
+        process_shard=process_shard(cfg.target.batch_size), host_crop=hc,
     )
 
     eval_fn, on_best = make_eval_hook(model, cfg, run_dir, logger)

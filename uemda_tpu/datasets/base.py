@@ -86,6 +86,31 @@ class SegDataset:
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
+def _host_crop_batch(dataset, indices, u, crop_hw) -> Dict[str, np.ndarray]:
+    """Assemble a batch with each sample's spatial arrays pre-cropped on the
+    host to ``crop_hw`` at offsets mapped from uniforms ``u`` (B, 2).
+
+    The slice is a numpy view of the RamCache'd decode; ``np.stack`` makes
+    the only copy. Samples smaller than the crop pass through unsliced
+    (matching the device crop's behavior)."""
+    ch, cw = crop_hw
+    items = []
+    for j, i in enumerate(indices):
+        it = dataset.item(int(i))
+        h, w = it["image"].shape[:2]
+        if h < ch or w < cw:
+            items.append(it)
+            continue
+        # floor(u * (range + 1)), clamped — the uniform-offset law the
+        # device crop draws from jax.random.randint(0, range + 1)
+        top = min(int(u[j, 0] * (h - ch + 1)), h - ch)
+        left = min(int(u[j, 1] * (w - cw + 1)), w - cw)
+        items.append(
+            {k: v[top : top + ch, left : left + cw] for k, v in it.items()}
+        )
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
 def infinite_batches(
     dataset: SegDataset,
     batch_size: int,
@@ -93,6 +118,7 @@ def infinite_batches(
     drop_last: bool = True,
     skip_batches: int = 0,
     process_shard=None,
+    host_crop=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled epoch-cycling batch iterator (DALoader semantics:
     RandomSampler + drop_last=True, ``daLoader.py:38-55``).
@@ -105,24 +131,46 @@ def infinite_batches(
     process draws the SAME global shuffle stream (same seed) but decodes
     only rows [start, start+size) of each global batch, so the global batch
     sequence is bit-identical to a single-process run
-    (parallel/multihost.local_batch_slice)."""
+    (parallel/multihost.local_batch_slice).
+
+    ``host_crop=(ch, cw)``: pre-crop every sample on the host before it
+    ships, instead of shipping the full tile and cropping on device — at
+    the LoveDA geometry (1024² tiles → 512² crops) this cuts host→device
+    batch bytes 4× (16× for the stage-3 fp16 prob labels). The jitted
+    step's device crop degenerates to the identity on an already-crop-sized
+    batch, so no step change is needed; flips/rot90 still run on device.
+    Offsets are drawn per (seed, batch index, row) — stateless, so resume
+    fast-forward and multi-host row slicing replay identical crops (rows
+    are drawn for the GLOBAL batch before ``process_shard`` slicing)."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
     skipped = 0
+    b_index = 0
     while True:
         perm = rng.permutation(n)
         stop = (n // batch_size) * batch_size if drop_last else n
         for i in range(0, max(stop, batch_size), batch_size):
+            this_b, b_index = b_index, b_index + 1
             if skipped < skip_batches:
                 skipped += 1
                 continue
             idx = perm[i : i + batch_size]
             if len(idx) < batch_size:
                 idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+            u = (
+                np.random.default_rng((seed, 9157, this_b)).random((len(idx), 2))
+                if host_crop is not None
+                else None
+            )
             if process_shard is not None:
                 start, size = process_shard
                 idx = idx[start : start + size]
-            yield dataset.batch(idx)
+                if u is not None:
+                    u = u[start : start + size]
+            if u is None:
+                yield dataset.batch(idx)
+            else:
+                yield _host_crop_batch(dataset, idx, u, host_crop)
 
 
 def sequential_batches(dataset: SegDataset, batch_size: int = 1,
