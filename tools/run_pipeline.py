@@ -150,6 +150,37 @@ def main():
                   "--class-tolerance", str(args.gate_class_tolerance)],
             args.dry_run)
 
+    if not args.dry_run:
+        _warn_on_stage_regression(log)
+
+
+def _warn_on_stage_regression(log: str, tol: float = 0.02):
+    """Quality-regression check (VERDICT r3 item 2): each stage of the
+    chain exists to improve on its predecessor (run_2vaihingen.sh:3-27's
+    whole point); a later stage ending BELOW the stage it initialized from
+    is the r3 LoveDA collapse signature (0.445 -> 0.108) and deserves a
+    loud warning even when every step exited 0."""
+    import json
+
+    chain = ["src", "align", "ssl"]  # both method chains use these dirs
+    best = {}
+    for stage in chain:
+        path = os.path.join(log, stage, "best.json")
+        if os.path.isfile(path):
+            with open(path) as f:
+                row = json.load(f)
+            if row.get("miou") is not None:
+                best[stage] = float(row["miou"])
+    for prev, cur in zip(chain, chain[1:]):
+        if prev in best and cur in best and best[cur] < best[prev] - tol:
+            print(
+                f"WARNING: stage '{cur}' best mIoU {best[cur]:.4f} is below "
+                f"its init stage '{prev}' ({best[prev]:.4f} - tol {tol}) — "
+                "quality regression; check the target pipeline (see "
+                "tests/test_quality_gate.py for the r3 collapse mechanism)",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

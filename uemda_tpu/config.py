@@ -56,6 +56,15 @@ class PairConfig:
     cutoff_top: float = 0.8
     cutoff_low: float = 0.6
     crop: Tuple[int, int] = (512, 512)
+    # Stage-3-style target Normalize clamp(max=1.0). The reference enables
+    # it ONLY in the ISPRS configs (configs/st/uemda/2vaihingen.py:38,
+    # 2potsdam.py:38, pRgb2*.py); every LoveDA config normalizes WITHOUT
+    # clamp (configs/st/*/2urban.py, 2rural.py — Normalize default
+    # clamp=False, aug/augmentation.py:115). At LoveDA stats (std ~35) a
+    # clamp at 1.0 saturates ~45% of target pixels, which drags the BN
+    # running statistics far from the eval-time distribution and collapses
+    # val mIoU — the reason the reference keys this per dataset.
+    clamp_target: bool = False
 
     @property
     def meta(self) -> DatasetMeta:
@@ -99,6 +108,7 @@ def _isprs_pair(name, target_set, src_stats, tgt_stats, src_city, tgt_city,
             tm, ts, batch_size=8,
         ),
         snapshot_dir=f"./log/uemda/{name}",
+        clamp_target=True,  # configs/st/uemda/2vaihingen.py:38
     )
 
 

@@ -615,6 +615,7 @@ def default_hparams(cfg: PairConfig, **overrides) -> StageHParams:
         cutoff_top=cfg.cutoff_top,
         cutoff_low=cfg.cutoff_low,
         max_segments=_max_segments_for(cfg),
+        clamp_target=cfg.clamp_target,
     )
     base.update(overrides)
     return StageHParams(**base)

@@ -73,6 +73,9 @@ class StageHParams:
     uvem_t: float = 0.7
     uvem_g: float = 4.0
     max_segments: int = 2048
+    # target Normalize clamp(max=1.0) for the stage-3-style pipelines —
+    # ISPRS configs only; False for LoveDA (see PairConfig.clamp_target)
+    clamp_target: bool = False
     compute_dtype: str = "bfloat16"
     scale_factor: int = 16  # feature stride (output_stride)
 
@@ -321,10 +324,11 @@ def make_ssl_step(model, hp: StageHParams):
     def step(state: TrainState, batch_s, batch_t, rng):
         k_aug_s, k_aug_t, k_drop_s, k_drop_t = jax.random.split(rng, 4)
         bs = augment_batch(k_aug_s, batch_s, hp.crop, hp.src_mean, hp.src_std, "oneof")
-        # stage-3 target pipeline: compose + clamp (configs/st/uemda/*:30-40)
+        # stage-3 target pipeline: compose (+ clamp on ISPRS only —
+        # configs/st/uemda/2vaihingen.py:30-40 vs 2rural.py)
         bt = augment_batch(
             k_aug_t, batch_t, hp.crop, hp.tgt_mean, hp.tgt_std, "compose",
-            clamp=True,
+            clamp=hp.clamp_target,
         )
 
         def loss_fn(params):
@@ -388,7 +392,7 @@ def make_mix_step(model, hp: StageHParams, mix: str = "cutmix"):
         bs = augment_batch(k_aug_s, batch_s, hp.crop, hp.src_mean, hp.src_std, "oneof")
         bt = augment_batch(
             k_aug_t, batch_t, hp.crop, hp.tgt_mean, hp.tgt_std, "compose",
-            clamp=True,
+            clamp=hp.clamp_target,
         )
         label_t_hard = pseudo_selection(
             bt["prob"].astype(jnp.float32), hp.cutoff_top, hp.cutoff_low,
@@ -439,7 +443,7 @@ def make_dca_step(model, hp: StageHParams):
         bs = augment_batch(k_aug_s, batch_s, hp.crop, hp.src_mean, hp.src_std, "oneof")
         bt = augment_batch(
             k_aug_t, batch_t, hp.crop, hp.tgt_mean, hp.tgt_std, "compose",
-            clamp=True,
+            clamp=hp.clamp_target,
         )
         label_t_hard = pseudo_selection(
             bt["prob"].astype(jnp.float32), hp.cutoff_top, hp.cutoff_low,
