@@ -90,8 +90,12 @@ def main():
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     mean, std = cfg.target.mean, cfg.target.std
 
+    # variables/aligner ride as jit ARGUMENTS: closed-over device arrays are
+    # baked into the HLO as literal constants, and at ResNet-101 size that
+    # pushed the axon remote_compile request body over the tunnel's HTTP
+    # limit (413) in the r4 LoveDA run
     @jax.jit
-    def refine_all(images_u8, prob, sup):
+    def refine_all(variables, aligner, images_u8, prob, sup):
         x = normalize(images_u8.astype(jnp.float32), mean, std)
         # deterministic eval forward with aux heads + feature map (the
         # stage-3 step uses train-mode dropout; quality measurement wants
@@ -131,6 +135,7 @@ def main():
     for indices, batch in sequential_batches(ds, args.batch_size):
         gt = np.stack([ds_gt.item(int(i))["label"] for i in indices])
         hard = refine_all(
+            variables, aligner,
             jnp.asarray(batch["image"]), jnp.asarray(batch["prob"]),
             jnp.asarray(batch["sup"]),
         )
