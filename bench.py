@@ -206,13 +206,18 @@ def main():
             tb = 8  # the reference schedule's batch size
             tms = bench_train_steps(load_config("2vaihingen"), model,
                                     variables, reps=2, batch=tb)
+            wall = {k: v for k, v in tms.items() if not k.endswith("_dev")}
+            dev = {k: v for k, v in tms.items() if k.endswith("_dev")}
             train_note = (
                 "train (b8, ms/step incl. tunnel RTT): "
                 + ", ".join(f"{k.split('_')[0]}={v:.1f}"
-                            for k, v in tms.items())
-                + "; train img/s/chip: "
+                            for k, v in wall.items())
+                + "; device-side ms/step (8 steps per readback, RTT/8): "
+                + ", ".join(f"{k.split('_')[0]}={v:.1f}"
+                            for k, v in dev.items())
+                + "; train img/s/chip (device): "
                 + ", ".join(f"{k.split('_')[0]}={tb / (v / 1000):.1f}"
-                            for k, v in tms.items())
+                            for k, v in dev.items())
                 + "; "
             )
         except Exception as e:

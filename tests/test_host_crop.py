@@ -99,3 +99,15 @@ def test_device_crop_is_identity_on_cropped_batch():
         out = _rand_crop_single(jax.random.key(s), arrs, (CROP, CROP))
         for k in arrs:
             np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(arrs[k]))
+
+
+def test_host_crop_rejects_samples_smaller_than_crop(tmp_path):
+    """A tile smaller than the crop must fail loudly with the file named
+    (ADVICE r3: the old silent pass-through produced a ragged np.stack or a
+    later device dynamic_slice error)."""
+    import pytest
+
+    ds = _ds(tmp_path)
+    it = infinite_batches(ds, 2, seed=1, host_crop=(HW + 16, HW + 16))
+    with pytest.raises(ValueError, match="smaller than the crop"):
+        next(it)

@@ -91,16 +91,20 @@ def _host_crop_batch(dataset, indices, u, crop_hw) -> Dict[str, np.ndarray]:
     host to ``crop_hw`` at offsets mapped from uniforms ``u`` (B, 2).
 
     The slice is a numpy view of the RamCache'd decode; ``np.stack`` makes
-    the only copy. Samples smaller than the crop pass through unsliced
-    (matching the device crop's behavior)."""
+    the only copy. Samples must be at least crop-sized — the device path
+    has the same precondition (its dynamic_slice cannot grow an array), so
+    this raises the error early with the offending file named."""
     ch, cw = crop_hw
     items = []
     for j, i in enumerate(indices):
         it = dataset.item(int(i))
         h, w = it["image"].shape[:2]
         if h < ch or w < cw:
-            items.append(it)
-            continue
+            raise ValueError(
+                f"--host-crop: sample {dataset.filename(int(i))} is "
+                f"{h}x{w}, smaller than the crop {ch}x{cw}; tiles must be "
+                f">= the crop (the device crop has the same precondition)"
+            )
         # floor(u * (range + 1)), clamped — the uniform-offset law the
         # device crop draws from jax.random.randint(0, range + 1)
         top = min(int(u[j, 0] * (h - ch + 1)), h - ch)
