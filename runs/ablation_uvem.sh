@@ -13,9 +13,9 @@ P=runs/ablation_config.py
 ROOT=/tmp/uemda_abl
 BASE=$ROOT/log
 
-retry() {
-    local n=0
-    until "$@"; do
+retry() {  # bounded retries, each attempt bounded by `timeout` (a tunnel
+    local n=0 # hang costs <=1h, not the session — VERDICT r3 item 4)
+    until timeout "${STEP_TIMEOUT:-3600}" "$@"; do
         n=$((n + 1))
         [ $n -ge 6 ] && return 1
         echo "RETRY($n) after failure: $*" >&2
@@ -56,12 +56,17 @@ s3 v_uvem_refine --gen 1 --refine-label 1 --lt uvem
 # heart of the flagship demonstration — don't leave it until after every
 # baseline variant in case the session runs out of wall clock). Non-fatal:
 # a failure here must not kill the remaining variants under set -e.
-(UEMDA_ABL_LOG=$ROOT/v_uvem_refine retry python tools/refine_quality.py \
+# write to a temp file and move into place on success, so stdout from a
+# failed attempt can't accumulate ahead of the final report (a whole-file
+# json.loads consumer would break on tee-across-retries)
+(UEMDA_ABL_LOG=$ROOT/v_uvem_refine retry bash -c "python tools/refine_quality.py \
     --config-path $P \
     --ckpt-model $BASE/align/SynthTarget_best.msgpack \
     --ckpt-proto $BASE/align/prototypes_init.msgpack \
     --pseudo-dir $ROOT/v_uvem_refine/pseudo_label \
-    | tee $ROOT/refine_quality.json) \
+    > $ROOT/refine_quality.json.tmp" \
+    && mv $ROOT/refine_quality.json.tmp $ROOT/refine_quality.json \
+    && cat $ROOT/refine_quality.json) \
     || echo "REFINE_QUALITY_FAILED rc=$?"
 
 s3 v_uvem_norefine --gen 1 --refine-label 0 --lt uvem

@@ -3,8 +3,11 @@
 # --host-crop (the full-tile upload was the measured bottleneck at 1024² —
 # ~1.5 s/step stage 1; pre-cropping on host cuts shipped bytes 4× and the
 # stage-3 prob labels 16×), then the flagship ablation. Stage 1 already
-# completed under runs/loveda_synth.sh; every trainer resumes exactly, so
-# re-running this script after any crash continues where it stopped.
+# completed under runs/loveda_synth.sh. Resume is exact only while the flag
+# set is unchanged: switching --host-crop mid-stage moves the crop-offset
+# draws from the step PRNG to the host stream (training stays valid, one
+# extra recompile — see add_loop_flags' help), so the resumed stage-2 here
+# is a valid continuation, not a bit-exact one.
 set -ux
 cd "$(dirname "$0")/.."
 P=runs/loveda_synth_config.py
