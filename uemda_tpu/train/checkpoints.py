@@ -9,6 +9,7 @@ exact. Torch-format reference checkpoints load via
 ``uemda_tpu.models.port_torch``.
 """
 
+import itertools
 import os
 from typing import Any
 
@@ -21,14 +22,27 @@ def _host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_tmp_seq = itertools.count()  # unique tmp suffix per in-process writer
+
+
 def save_checkpoint(path: str, state: Any) -> str:
-    """Serialize any pytree (TrainState, variables dict, prototypes...)."""
+    """Serialize any pytree (TrainState, variables dict, prototypes...).
+
+    The tmp name is unique per writer (pid + counter): with a SHARED name,
+    two concurrent writers of the same path truncate each other's tmp and
+    the loser's ``os.replace`` dies with FileNotFoundError — exactly what
+    happened when two orphaned run chains raced one run dir (r4). With
+    unique tmps each rename is atomic and last-writer-wins."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     data = flax.serialization.to_bytes(_host(state))
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_tmp_seq)}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # failed mid-write: don't leave the orphan
+            os.remove(tmp)
     return path
 
 
@@ -82,6 +96,79 @@ class AsyncSaver:
         if self._err is not None:
             err, self._err = self._err, None
             raise err
+
+
+class RunDirLock:
+    """Guard a run directory against two concurrent trainers.
+
+    Two trainers on one run dir interleave ``metrics.jsonl``, fight over
+    ``best.json`` and double-book the accelerator (observed r4: an orphaned
+    driver chain from a dead session raced a restarted one). The reference
+    has no guard at all (its tools clobber each other's snapshot dirs
+    silently, ``tools/train_src.py:151-163``); here the second trainer
+    fails fast with both pids named.
+
+    An ``O_EXCL`` pid lockfile; a lock whose pid is no longer alive is
+    STOLEN, so crashed or timeout-killed runs resume without manual
+    cleanup (unattended-driver requirement)."""
+
+    def __init__(self, run_dir: str):
+        self.path = os.path.join(run_dir, ".run_lock")
+        self._held = False
+
+    @staticmethod
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    def acquire(self) -> "RunDirLock":
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        for _ in range(8):  # bounded: steal->recreate can race another staler
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self._held = True
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        holder = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0  # unreadable/garbled: treat as stale
+                if holder and self._alive(holder):
+                    raise RuntimeError(
+                        f"run dir {os.path.dirname(self.path)} is locked by "
+                        f"live pid {holder} (this pid: {os.getpid()}) — a "
+                        "second trainer on one run dir races checkpoints "
+                        "and metrics; stop the other process (check for "
+                        "orphaned nohup'd chains) or use a different "
+                        "snapshot dir"
+                    )
+                try:  # stale: holder is dead — steal
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(f"could not acquire {self.path} after 8 attempts")
+
+    def release(self):
+        if self._held:
+            self._held = False
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self):
+        return self.acquire()
+
+    def __exit__(self, *exc):
+        self.release()
 
 
 def save_checkpoint_orbax(path: str, state: Any) -> str:

@@ -305,6 +305,41 @@ def run_training_loop(
     profile_dir: Optional[str] = None,
     start_step: int = 0,
 ) -> TrainState:
+    """Lock the run dir (when snapshotting), then run the loop.
+
+    Two trainers on one run dir race the checkpoint files and interleave
+    metrics.jsonl (observed r4: an orphaned driver chain vs its restart);
+    the second fails fast with both pids named. A lock whose holder died
+    is stolen, so --resume auto after a crash/timeout needs no cleanup."""
+    run_lock = None
+    if jax.process_index() == 0 and hooks.state_path:
+        from uemda_tpu.train.checkpoints import RunDirLock
+
+        run_lock = RunDirLock(os.path.dirname(hooks.state_path)).acquire()
+    try:
+        return _run_training_loop(
+            state, step_fn, source_iter, target_iter, stop_steps, logger,
+            hooks, mesh=mesh, rng_seed=rng_seed, profile_dir=profile_dir,
+            start_step=start_step,
+        )
+    finally:
+        if run_lock is not None:
+            run_lock.release()
+
+
+def _run_training_loop(
+    state: TrainState,
+    step_fn: Callable,
+    source_iter,
+    target_iter,
+    stop_steps: int,
+    logger,
+    hooks: LoopHooks,
+    mesh=None,
+    rng_seed: int = 2333,
+    profile_dir: Optional[str] = None,
+    start_step: int = 0,
+) -> TrainState:
     """The per-iteration loop shared by all trainers (train_src.py:108-165).
 
     ``profile_dir`` captures a jax.profiler device trace of steps 10-15
