@@ -26,11 +26,16 @@ from uemda_tpu.config import PairConfig, SplitConfig
 from uemda_tpu.datasets.meta import IsprsDA
 from uemda_tpu.datasets.synthetic import make_synthetic_dataset
 
-NOISE = float(os.environ.get("UEMDA_ABL2_NOISE", "40"))
-PMIX = float(os.environ.get("UEMDA_ABL2_PMIX", "0.10"))
+_NOISE_S = os.environ.get("UEMDA_ABL2_NOISE", "40")
+_PMIX_S = os.environ.get("UEMDA_ABL2_PMIX", "0.10")
+NOISE = float(_NOISE_S)
+PMIX = float(_PMIX_S)
+# the root embeds the env strings VERBATIM so the bash drivers (which
+# interpolate the same strings) always agree on the path — a :g format
+# here turned "0.10" into "0.1" and the screen looked in the wrong dir
 ROOT = os.environ.get(
     "UEMDA_ABL2_ROOT",
-    f"/tmp/uemda_abl2/n{NOISE:g}_p{PMIX:g}",
+    f"/tmp/uemda_abl2/n{_NOISE_S}_p{_PMIX_S}",
 )
 HW = 256
 

@@ -57,6 +57,34 @@ def test_clamp_target_follows_reference_configs():
     assert default_hparams(PRESETS["2urban"]).clamp_target is False
 
 
+def test_run_pipeline_warns_on_stage_regression(tmp_path, capsys):
+    """run_pipeline's post-chain check flags a stage ending below its init
+    stage (the r3 collapse signature) and stays quiet on a healthy chain."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline", "tools/run_pipeline.py")
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    def write(miou_by_stage):
+        for stage, miou in miou_by_stage.items():
+            d = tmp_path / stage
+            d.mkdir(exist_ok=True)
+            (d / "best.json").write_text(
+                _json.dumps({"miou": miou, "step": 100}))
+
+    write({"src": 0.28, "align": 0.44, "ssl": 0.52})  # the healthy r4 chain
+    rp._warn_on_stage_regression(str(tmp_path))
+    assert "WARNING" not in capsys.readouterr().out
+
+    write({"src": 0.28, "align": 0.44, "ssl": 0.10})  # the r3 collapse
+    rp._warn_on_stage_regression(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "ssl" in out and "quality regression" in out
+
+
 HW, CROP = 64, 32
 
 
