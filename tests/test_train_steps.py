@@ -121,6 +121,62 @@ def test_ssl_step_all_target_losses(target_loss):
     assert np.isfinite(float(m["loss"])), target_loss
 
 
+@pytest.mark.parametrize("mix", ["cutmix", "classmix"])
+def test_mix_step_combo_uvem_refine(mix):
+    """Beyond-reference combo: UVEM + online refinement on the mix step
+    (tools/train_ssl_mix.py --lt uvem --refine-label 1). Prototypes advance,
+    loss finite; the legacy path on the same inputs leaves them untouched."""
+    from uemda_tpu.train.steps import make_mix_step
+
+    model, variables = _tiny_model()
+    hp_combo = _hp(target_loss="uvem", refine=True, refine_mode="all")
+    bs, _, bt = _batches(seed=4)
+
+    # independent buffer copies — the step donates its input state
+    state = _state(jax.tree.map(jnp.copy, variables))
+    state2 = _state(jax.tree.map(jnp.copy, variables))
+    step = make_mix_step(model, hp_combo, mix=mix, combo=True)
+    p0 = np.asarray(state.aligner.prototypes).copy()
+    state, m = step(state, bs, bt, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss_target"]))
+    assert not np.allclose(np.asarray(state.aligner.prototypes), p0)
+
+    legacy = make_mix_step(model, hp_combo, mix=mix, combo=False)
+    state2, m2 = legacy(state2, bs, bt, jax.random.key(0))
+    assert np.isfinite(float(m2["loss"]))
+    assert np.allclose(np.asarray(state2.aligner.prototypes), p0)
+
+
+@pytest.mark.parametrize("mixer_name", ["cutmix", "classmix"])
+def test_mixing_probs_passthrough(mixer_name):
+    """probs ride the same paste mask as the hard labels: with one-hot
+    probs in, argmax(mixed probs) == mixed hard labels everywhere."""
+    from uemda_tpu.ops.labels import one_hot_ignore
+    from uemda_tpu.ops.mixing import classmix, cutmix
+
+    bs, _, _ = _batches(seed=5, b=2)
+    bt, _, _ = _batches(seed=6, b=2)
+    probs_s = one_hot_ignore(bs["label"], C, -1)
+    probs_t = one_hot_ignore(bt["label"], C, -1)
+    if mixer_name == "cutmix":
+        out = cutmix(jax.random.key(1), bs["image"], bs["label"],
+                     bt["image"], bt["label"], probs_s=probs_s, probs_t=probs_t)
+    else:
+        out = classmix(jax.random.key(1), bs["image"], bs["label"],
+                       bt["image"], bt["label"], class_num=C,
+                       probs_s=probs_s, probs_t=probs_t)
+    assert len(out) == 5
+    _, _, _, lab_t, soft_t = out
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(soft_t, -1)), np.asarray(lab_t)
+    )
+    # and the 4-return legacy signature is unchanged
+    legacy = cutmix(jax.random.key(1), bs["image"], bs["label"],
+                    bt["image"], bt["label"])
+    assert len(legacy) == 4
+
+
 def test_init_proto_step_accumulates():
     model, variables = _tiny_model()
     state = _state(variables)

@@ -59,6 +59,25 @@ def main():
                         choices=["CrossEntropy", "OhemCrossEntropy"])
     parser.add_argument("--bcs", type=str2bool, default=0)
     parser.add_argument("--class-temp", type=float, default=2.0)
+    # ---- beyond-reference combo: UVEM/refinement on top of mixing ----
+    parser.add_argument("--lt", type=str, default="legacy",
+                        choices=["legacy", "uvem", "ups", "ohem", "focal",
+                                 "ghm", "gdp", "ce"],
+                        help="target loss on the mixed batch: 'legacy' = the "
+                        "reference's CE-on-mined-labels; anything else runs "
+                        "the stage-3 loss zoo (beyond-reference)")
+    parser.add_argument("--refine-label", type=str2bool, default=0,
+                        help="refine stored soft labels online before "
+                        "mining+mixing (beyond-reference; needs --ckpt-proto)")
+    parser.add_argument("--refine-mode", type=str, default="all",
+                        choices=["s", "p", "n", "l", "all"])
+    parser.add_argument("--refine-temp", type=float, default=2.0)
+    parser.add_argument("--ckpt-proto", type=str, default=None,
+                        help="stage-2 prototypes (required with --refine-label)")
+    parser.add_argument("--bct", type=str2bool, default=0)
+    parser.add_argument("--uvem-m", type=float, default=0.2)
+    parser.add_argument("--uvem-t", type=float, default=0.7)
+    parser.add_argument("--uvem-g", type=float, default=4)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2333)
@@ -79,12 +98,25 @@ def main():
     logger = get_console_file_logger("train_ssl_mix", run_dir)
     logging_args(args, logger)
 
+    combo = args.lt != "legacy" or bool(args.refine_label)
+    if args.refine_label and not args.ckpt_proto:
+        parser.error("--refine-label 1 requires --ckpt-proto")
+
     stop_steps = args.steps or cfg.stage3_steps
     model = build_model(cfg)
     variables = init_variables(model, cfg, seed=args.seed)
     variables = load_checkpoint(args.ckpt_model, variables)
+    prototypes = None
+    if args.ckpt_proto:
+        import numpy as np
+
+        prototypes = load_checkpoint(
+            args.ckpt_proto,
+            np.zeros((cfg.class_num, model.config.inchannels), np.float32),
+        )
     state = build_state(
-        variables, cfg, stop_steps, balance_temp=args.class_temp,
+        variables, cfg, stop_steps, prototypes=prototypes,
+        balance_temp=args.class_temp,
         feat_channels=model.config.inchannels,
         accum_steps=args.accum_steps,
     )
@@ -93,8 +125,16 @@ def main():
         cfg,
         source_loss="ohem" if args.ls == "OhemCrossEntropy" else "ce",
         balance_source=bool(args.bcs),
+        refine=bool(args.refine_label),
+        refine_mode=args.refine_mode,
+        refine_temp=args.refine_temp,
+        target_loss=args.lt if args.lt != "legacy" else "ce",
+        balance_target=bool(args.bct),
+        uvem_m=args.uvem_m,
+        uvem_t=args.uvem_t,
+        uvem_g=args.uvem_g,
     )
-    step_fn = make_mix_step(model, hp, mix=args.mix)
+    step_fn = make_mix_step(model, hp, mix=args.mix, combo=combo)
 
     mesh = trainer_mesh(args, multihost)
     state, start_step, state_path = maybe_resume(state, run_dir, args.resume, logger)
@@ -113,8 +153,10 @@ def main():
             cutoff_top=cfg.cutoff_top, cutoff_low=cfg.cutoff_low, logger=logger,
             mesh=mesh, fastpath=bool(args.gen_fastpath),
         )
+        need_sup = bool(args.refine_label) and args.refine_mode in ("all", "s")
         ds = SegDataset(
-            cfg.meta, list(cfg.target.image_dir), pseudo_dir, label_type="prob"
+            cfg.meta, list(cfg.target.image_dir), pseudo_dir,
+            label_type="prob", read_sup=need_sup,
         )
         return infinite_batches(
             ds, cfg.target.batch_size, seed=1, skip_batches=skip,

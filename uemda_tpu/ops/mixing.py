@@ -24,15 +24,20 @@ def classmix(
     ratio: float = 0.5,
     class_num: int = 7,
     ignore_label: int = -1,
+    probs_s: jnp.ndarray = None,
+    probs_t: jnp.ndarray = None,
 ):
     """Paste pixels of a random half of the classes from source into target
     (classmix.py:42-51). The class subset is batch-wide, like the reference's
-    single randperm per call."""
+    single randperm per call. With ``probs_s/probs_t`` (B,H,W,C) soft labels,
+    also returns the pasted soft map as a 5th element (combo mix+UVEM path —
+    beyond-reference)."""
     n_sel = int(class_num * ratio)
     perm = jax.random.permutation(rng, class_num)
     selected = jnp.zeros((class_num,), jnp.float32).at[perm[:n_sel]].set(1.0)
     return classmix_paste(
-        selected, data_s, targets_s, data_t, targets_t, class_num, ignore_label
+        selected, data_s, targets_s, data_t, targets_t, class_num,
+        ignore_label, probs_s=probs_s, probs_t=probs_t,
     )
 
 
@@ -44,6 +49,8 @@ def classmix_paste(
     targets_t: jnp.ndarray,
     class_num: int,
     ignore_label: int = -1,
+    probs_s: jnp.ndarray = None,
+    probs_t: jnp.ndarray = None,
 ):
     """Deterministic classmix core given the (C,) 0/1 selected-class mask
     (classmix.py:42-51) — split out so the paste semantics can be golden-
@@ -52,7 +59,10 @@ def classmix_paste(
     cond = (oh * selected[None, None, None, :]).sum(-1) > 0  # (B,H,W)
     new_targets_t = jnp.where(cond, targets_s, targets_t)
     new_data_t = jnp.where(cond[..., None], data_s, data_t)
-    return data_s, targets_s, new_data_t, new_targets_t
+    if probs_s is None:
+        return data_s, targets_s, new_data_t, new_targets_t
+    new_probs_t = jnp.where(cond[..., None], probs_s, probs_t)
+    return data_s, targets_s, new_data_t, new_targets_t, new_probs_t
 
 
 def box_mask(hw: Tuple[int, int], lam, cx, cy) -> jnp.ndarray:
@@ -89,12 +99,19 @@ def cutmix(
     data_t: jnp.ndarray,
     targets_t: jnp.ndarray,
     alpha: float = 1.0,
+    probs_s: jnp.ndarray = None,
+    probs_t: jnp.ndarray = None,
 ):
-    """Source box pasted into target (cutmix.py:15-31); one box per call."""
+    """Source box pasted into target (cutmix.py:15-31); one box per call.
+    With ``probs_s/probs_t`` (B,H,W,C) soft labels, also returns the pasted
+    soft map as a 5th element (combo mix+UVEM path — beyond-reference)."""
     mask = _cut_box(rng, data_s.shape[1:3], alpha)
     new_data_t = jnp.where(mask[None, :, :, None], data_s, data_t)
     new_targets_t = jnp.where(mask[None], targets_s, targets_t)
-    return data_s, targets_s, new_data_t, new_targets_t
+    if probs_s is None:
+        return data_s, targets_s, new_data_t, new_targets_t
+    new_probs_t = jnp.where(mask[None, :, :, None], probs_s, probs_t)
+    return data_s, targets_s, new_data_t, new_targets_t, new_probs_t
 
 
 def cutmix_inbatch(rng: jax.Array, data: jnp.ndarray, targets: jnp.ndarray,

@@ -378,27 +378,63 @@ def make_ssl_step(model, hp: StageHParams):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_mix_step(model, hp: StageHParams, mix: str = "cutmix"):
+def make_mix_step(model, hp: StageHParams, mix: str = "cutmix",
+                  combo: bool = False):
     """ClassMix/CutMix SSL step (``tools/train_ssl_mix.py:144-176``): mine
     hard labels from the stored soft labels, paste source content into the
-    target batch on device, CE on both mixed batches."""
+    target batch on device, CE on both mixed batches.
+
+    ``combo=True`` is BEYOND-REFERENCE (the reference's mix trainer has no
+    refine/UVEM hooks): the stored soft labels are refined online exactly as
+    in ``make_ssl_step`` — on a no-grad mining forward of the UNMIXED target
+    batch — then the soft map is pasted alongside the image (source pixels
+    become one-hot ground truth, i.e. maximally confident under UVEM), the
+    target loss runs the stage-3 zoo (``_target_loss``), and source
+    prototypes advance by EMA. Measures whether the flagship machinery
+    stacks on top of the strong mixing baseline."""
+    from uemda_tpu.ops.labels import one_hot_ignore
     from uemda_tpu.ops.mixing import classmix, cutmix
 
     dtype = jnp.dtype(hp.compute_dtype)
     assert mix in ("cutmix", "classmix", "dacs")
 
     def step(state: TrainState, batch_s, batch_t, rng):
-        k_aug_s, k_aug_t, k_mix, k_drop_s, k_drop_t = jax.random.split(rng, 5)
+        k_aug_s, k_aug_t, k_mix, k_drop_s, k_drop_t, k_drop_m = (
+            jax.random.split(rng, 6)
+        )
         bs = augment_batch(k_aug_s, batch_s, hp.crop, hp.src_mean, hp.src_std, "oneof")
         bt = augment_batch(
             k_aug_t, batch_t, hp.crop, hp.tgt_mean, hp.tgt_std, "compose",
             clamp=hp.clamp_target,
         )
+        label_t_soft = bt["prob"].astype(jnp.float32)
+        if combo and hp.refine:
+            # mining forward on the unmixed target: the gradient forward
+            # below sees only mixed images, so refinement gets its own
+            # pass — stats update discarded, nothing differentiated
+            m1, m2, feat_m, _ = _forward_train(
+                model, jax.lax.stop_gradient(state.params), state.batch_stats,
+                bt["image"], k_drop_m, dtype,
+            )
+            label_t_soft = label_refine(
+                state.aligner, label_t_soft, feat_m, [m1, m2],
+                sup=bt.get("sup"), mode=hp.refine_mode, temp=hp.refine_temp,
+                max_segments=hp.max_segments,
+            )
         label_t_hard = pseudo_selection(
-            bt["prob"].astype(jnp.float32), hp.cutoff_top, hp.cutoff_low,
-            hp.ignore_label,
+            label_t_soft, hp.cutoff_top, hp.cutoff_low, hp.ignore_label
         )
-        if mix == "cutmix":
+        soft_t = None
+        if combo:
+            probs_s = one_hot_ignore(bs["label"], hp.class_num, hp.ignore_label)
+            mixer = cutmix if mix == "cutmix" else classmix
+            kw = dict(probs_s=probs_s, probs_t=label_t_soft)
+            if mix != "cutmix":
+                kw.update(class_num=hp.class_num, ignore_label=hp.ignore_label)
+            img_s, lab_s, img_t, lab_t, soft_t = mixer(
+                k_mix, bs["image"], bs["label"], bt["image"], label_t_hard, **kw
+            )
+        elif mix == "cutmix":
             img_s, lab_s, img_t, lab_t = cutmix(
                 k_mix, bs["image"], bs["label"], bt["image"], label_t_hard
             )
@@ -409,23 +445,35 @@ def make_mix_step(model, hp: StageHParams, mix: str = "cutmix"):
             )
 
         def loss_fn(params):
-            p1, p2, _, stats = _forward_train(
+            p1, p2, feat_s, stats = _forward_train(
                 model, params, state.batch_stats, img_s, k_drop_s, dtype
             )
             t1, t2, _, stats = _forward_train(
                 model, params, stats, img_t, k_drop_t, dtype
             )
             loss_s, balance = _source_loss_terms(hp, state, [p1, p2], lab_s)
-            loss_t, _ = _source_loss_terms(hp, state, [t1, t2], lab_t)
+            if combo:
+                loss_t, balance_t, ghm = _target_loss(
+                    hp, state, [t1, t2], lab_t, soft_t
+                )
+                aligner, _ = update_prototype(
+                    state.aligner, feat_s, lab_s, hp.class_num, hp.scale_factor
+                )
+                extra = dict(aligner=aligner, balance_t=balance_t, ghm=ghm)
+            else:
+                loss_t, _ = _source_loss_terms(hp, state, [t1, t2], lab_t)
+                extra = {}
             loss = loss_s + loss_t
             return loss, dict(
-                stats=stats, balance=balance,
+                stats=stats, balance=balance, extra=extra,
                 metrics=dict(loss=loss, loss_source=loss_s, loss_target=loss_t),
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=aux["stats"], balance_s=aux["balance"])
+        state = state.replace(
+            batch_stats=aux["stats"], balance_s=aux["balance"], **aux["extra"]
+        )
         return state, aux["metrics"]
 
     return jax.jit(step, donate_argnums=(0,))
