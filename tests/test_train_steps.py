@@ -150,31 +150,89 @@ def test_mix_step_combo_uvem_refine(mix):
 
 @pytest.mark.parametrize("mixer_name", ["cutmix", "classmix"])
 def test_mixing_probs_passthrough(mixer_name):
-    """probs ride the same paste mask as the hard labels: with one-hot
-    probs in, argmax(mixed probs) == mixed hard labels everywhere."""
+    """probs and the paste mask ride the same paste as the hard labels:
+    with one-hot probs in, argmax(mixed probs) == mixed hard labels at every
+    NON-ignore pixel; ignore pixels keep their all-zero one-hot rows (whose
+    argmax is 0 while the hard label is -1 — the actual invariant is
+    narrower than 'everywhere'); the mask marks exactly the source pixels."""
     from uemda_tpu.ops.labels import one_hot_ignore
     from uemda_tpu.ops.mixing import classmix, cutmix
 
     bs, _, _ = _batches(seed=5, b=2)
     bt, _, _ = _batches(seed=6, b=2)
-    probs_s = one_hot_ignore(bs["label"], C, -1)
-    probs_t = one_hot_ignore(bt["label"], C, -1)
+    # inject ignore pixels on both sides to pin the ignore semantics
+    lab_s = np.asarray(bs["label"]).copy()
+    lab_t = np.asarray(bt["label"]).copy()
+    lab_s[:, :3, :5] = -1
+    lab_t[:, -4:, -2:] = -1
+    lab_s, lab_t = jnp.asarray(lab_s), jnp.asarray(lab_t)
+    probs_s = one_hot_ignore(lab_s, C, -1)
+    probs_t = one_hot_ignore(lab_t, C, -1)
     if mixer_name == "cutmix":
-        out = cutmix(jax.random.key(1), bs["image"], bs["label"],
-                     bt["image"], bt["label"], probs_s=probs_s, probs_t=probs_t)
+        out = cutmix(jax.random.key(1), bs["image"], lab_s,
+                     bt["image"], lab_t, probs_s=probs_s, probs_t=probs_t)
     else:
-        out = classmix(jax.random.key(1), bs["image"], bs["label"],
-                       bt["image"], bt["label"], class_num=C,
+        out = classmix(jax.random.key(1), bs["image"], lab_s,
+                       bt["image"], lab_t, class_num=C,
                        probs_s=probs_s, probs_t=probs_t)
-    assert len(out) == 5
-    _, _, _, lab_t, soft_t = out
+    assert len(out) == 6
+    _, _, _, mixed_t, soft_t, paste = out
+    mixed_t, soft_t, paste = map(np.asarray, (mixed_t, soft_t, paste))
+    assert paste.shape == mixed_t.shape and paste.dtype == np.bool_
+    valid = mixed_t != -1
     np.testing.assert_array_equal(
-        np.asarray(jnp.argmax(soft_t, -1)), np.asarray(lab_t)
+        np.argmax(soft_t, -1)[valid], mixed_t[valid]
     )
+    # ignore pixels carry all-zero one-hot rows through the paste
+    np.testing.assert_array_equal(soft_t[~valid], 0.0)
+    # the mask IS the paste: source labels where True, target where False
+    np.testing.assert_array_equal(mixed_t[paste], np.asarray(lab_s)[paste])
+    np.testing.assert_array_equal(mixed_t[~paste], np.asarray(lab_t)[~paste])
+    assert paste.any() and not paste.all()
     # and the 4-return legacy signature is unchanged
-    legacy = cutmix(jax.random.key(1), bs["image"], bs["label"],
-                    bt["image"], bt["label"])
+    legacy = cutmix(jax.random.key(1), bs["image"], lab_s,
+                    bt["image"], lab_t)
     assert len(legacy) == 4
+
+
+def test_uvem_paste_mask_trains_clean_pixels():
+    """Pasted clean supervision is one-hot => entropy 0 => UVEM parabola
+    weight 0. With the paste mask those pixels must train at weight 1
+    (plain CE) and be counted in valid_cnt; without it the loss is ~0."""
+    from uemda_tpu.alignment.losses import (
+        cross_entropy_per_pixel,
+        uvem_loss,
+    )
+    from uemda_tpu.ops.labels import one_hot_ignore
+
+    rng = np.random.default_rng(3)
+    b, hw = 2, 8
+    logits = jnp.asarray(rng.normal(size=(b, hw, hw, C)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, size=(b, hw, hw)).astype(np.int32))
+    labels = labels.at[:, 0, 0].set(-1)  # a few ignore pixels
+    soft = one_hot_ignore(labels, C, -1)  # all-pasted scenario: u == 0
+    paste = jnp.ones((b, hw, hw), bool)
+
+    no_mask = float(uvem_loss(logits, labels, soft))
+    assert abs(no_mask) < 1e-5  # w(0)=0 but valid_cnt>0 -> ~0 (the old bug)
+
+    with_mask = float(uvem_loss(logits, labels, soft, paste_mask=paste))
+    ce = cross_entropy_per_pixel(
+        logits.reshape(-1, C), labels.reshape(-1)
+    )
+    valid = (labels.reshape(-1) != -1)
+    expect = float(ce.sum() / (valid.sum() + 1e-7))
+    np.testing.assert_allclose(with_mask, expect, rtol=1e-6)
+
+    # mixed scenario: mask only where pasted; unpasted pixels keep the
+    # reference UVEM weighting bit-for-bit
+    half = jnp.zeros((b, hw, hw), bool).at[:, : hw // 2].set(True)
+    soft_t = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(b, hw, hw, C)).astype(np.float32)), -1
+    )
+    soft_mixed = jnp.where(half[..., None], soft, soft_t)
+    mixed = float(uvem_loss(logits, labels, soft_mixed, paste_mask=half))
+    assert np.isfinite(mixed) and mixed > 0
 
 
 def test_init_proto_step_accumulates():

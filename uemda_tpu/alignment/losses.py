@@ -223,17 +223,30 @@ def uvem_loss(
     gamma: float = 4.0,
     ignore_label: int = -1,
     pixel_weight: Optional[jnp.ndarray] = None,
+    paste_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """``UVEMLoss`` (balance.py:345-423): uncertainty gate + piecewise
-    parabola valuable-example weight."""
+    parabola valuable-example weight.
+
+    ``paste_mask`` (beyond-reference, for the combo mix+UVEM step): bool map
+    of pixels carrying pasted CLEAN source supervision. Their soft labels are
+    one-hot, so u=0 and the parabola weight w(0)=0 would silently zero the
+    clean CE while still counting them in valid_cnt. With the mask they are
+    trained at weight 1 (like the reference mix trainer's plain CE on pasted
+    pixels), never gated, and counted in valid_cnt only when trained."""
     lf, yf = _flatten(logits, labels)
     u = jax.lax.stop_gradient(pixel_entropy(label_soft.reshape(lf.shape)))
     ce = cross_entropy_per_pixel(lf, yf, ignore_label)
-    ce = jnp.where(u > threshold, 0.0, ce)
     w = uvem_weight(u, m, threshold, gamma)
+    trained = u <= threshold
+    if paste_mask is not None:
+        pm = paste_mask.reshape(-1)
+        w = jnp.where(pm, 1.0, w)
+        trained = trained | pm
+    ce = jnp.where(trained, ce, 0.0)
     if pixel_weight is not None:
         w = w * pixel_weight.reshape(-1)
-    valid_cnt = ((u <= threshold) & (yf != ignore_label)).sum()
+    valid_cnt = (trained & (yf != ignore_label)).sum()
     return (w * ce).sum() / (valid_cnt + 1e-7)
 
 

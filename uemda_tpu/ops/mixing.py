@@ -30,8 +30,10 @@ def classmix(
     """Paste pixels of a random half of the classes from source into target
     (classmix.py:42-51). The class subset is batch-wide, like the reference's
     single randperm per call. With ``probs_s/probs_t`` (B,H,W,C) soft labels,
-    also returns the pasted soft map as a 5th element (combo mix+UVEM path —
-    beyond-reference)."""
+    also returns the pasted soft map and the (B,H,W) bool paste mask as 5th
+    and 6th elements (combo mix+UVEM path — beyond-reference: the mask lets
+    the target loss treat pasted clean supervision at full weight instead of
+    letting its zero entropy zero it out under UVEM)."""
     n_sel = int(class_num * ratio)
     perm = jax.random.permutation(rng, class_num)
     selected = jnp.zeros((class_num,), jnp.float32).at[perm[:n_sel]].set(1.0)
@@ -62,7 +64,7 @@ def classmix_paste(
     if probs_s is None:
         return data_s, targets_s, new_data_t, new_targets_t
     new_probs_t = jnp.where(cond[..., None], probs_s, probs_t)
-    return data_s, targets_s, new_data_t, new_targets_t, new_probs_t
+    return data_s, targets_s, new_data_t, new_targets_t, new_probs_t, cond
 
 
 def box_mask(hw: Tuple[int, int], lam, cx, cy) -> jnp.ndarray:
@@ -104,14 +106,16 @@ def cutmix(
 ):
     """Source box pasted into target (cutmix.py:15-31); one box per call.
     With ``probs_s/probs_t`` (B,H,W,C) soft labels, also returns the pasted
-    soft map as a 5th element (combo mix+UVEM path — beyond-reference)."""
+    soft map and the (B,H,W) bool paste mask as 5th and 6th elements (combo
+    mix+UVEM path — beyond-reference, see ``classmix``)."""
     mask = _cut_box(rng, data_s.shape[1:3], alpha)
     new_data_t = jnp.where(mask[None, :, :, None], data_s, data_t)
     new_targets_t = jnp.where(mask[None], targets_s, targets_t)
     if probs_s is None:
         return data_s, targets_s, new_data_t, new_targets_t
     new_probs_t = jnp.where(mask[None, :, :, None], probs_s, probs_t)
-    return data_s, targets_s, new_data_t, new_targets_t, new_probs_t
+    paste = jnp.broadcast_to(mask[None], new_targets_t.shape)
+    return data_s, targets_s, new_data_t, new_targets_t, new_probs_t, paste
 
 
 def cutmix_inbatch(rng: jax.Array, data: jnp.ndarray, targets: jnp.ndarray,

@@ -255,7 +255,8 @@ def make_align_step(model, hp: StageHParams):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def _target_loss(hp: StageHParams, state, preds, label_hard, label_soft):
+def _target_loss(hp: StageHParams, state, preds, label_hard, label_soft,
+                 paste_mask=None):
     balance = state.balance_t
     ghm = state.ghm
     pixel_weight = None
@@ -266,7 +267,7 @@ def _target_loss(hp: StageHParams, state, preds, label_hard, label_soft):
     if hp.target_loss == "uvem":
         fn = lambda lg, lb, ls: uvem_loss(
             lg, lb, ls, hp.uvem_m, hp.uvem_t, hp.uvem_g, hp.ignore_label,
-            pixel_weight,
+            pixel_weight, paste_mask=paste_mask,
         )
         loss = loss_calc_uvem(preds, label_hard, label_soft, fn, multi=True)
     elif hp.target_loss == "ups":
@@ -387,11 +388,13 @@ def make_mix_step(model, hp: StageHParams, mix: str = "cutmix",
     ``combo=True`` is BEYOND-REFERENCE (the reference's mix trainer has no
     refine/UVEM hooks): the stored soft labels are refined online exactly as
     in ``make_ssl_step`` — on a no-grad mining forward of the UNMIXED target
-    batch — then the soft map is pasted alongside the image (source pixels
-    become one-hot ground truth, i.e. maximally confident under UVEM), the
-    target loss runs the stage-3 zoo (``_target_loss``), and source
-    prototypes advance by EMA. Measures whether the flagship machinery
-    stacks on top of the strong mixing baseline."""
+    batch — then the soft map is pasted alongside the image, the target loss
+    runs the stage-3 zoo (``_target_loss``), and source prototypes advance
+    by EMA. Pasted pixels carry clean one-hot source supervision (entropy 0,
+    so the UVEM parabola would weight them 0); the mixer's paste mask is
+    threaded into ``uvem_loss`` so they train at weight 1 like the reference
+    mix trainer's plain CE, and valid_cnt counts exactly the trained pixels.
+    Measures whether the flagship machinery stacks on the mixing baseline."""
     from uemda_tpu.ops.labels import one_hot_ignore
     from uemda_tpu.ops.mixing import classmix, cutmix
 
@@ -399,9 +402,11 @@ def make_mix_step(model, hp: StageHParams, mix: str = "cutmix",
     assert mix in ("cutmix", "classmix", "dacs")
 
     def step(state: TrainState, batch_s, batch_t, rng):
-        k_aug_s, k_aug_t, k_mix, k_drop_s, k_drop_t, k_drop_m = (
-            jax.random.split(rng, 6)
-        )
+        # legacy 5-way split kept byte-identical so pre-combo mix runs
+        # reproduce / resume deterministically; the combo-only mining-forward
+        # dropout key is derived separately via fold_in
+        k_aug_s, k_aug_t, k_mix, k_drop_s, k_drop_t = jax.random.split(rng, 5)
+        k_drop_m = jax.random.fold_in(rng, 1)
         bs = augment_batch(k_aug_s, batch_s, hp.crop, hp.src_mean, hp.src_std, "oneof")
         bt = augment_batch(
             k_aug_t, batch_t, hp.crop, hp.tgt_mean, hp.tgt_std, "compose",
@@ -424,14 +429,14 @@ def make_mix_step(model, hp: StageHParams, mix: str = "cutmix",
         label_t_hard = pseudo_selection(
             label_t_soft, hp.cutoff_top, hp.cutoff_low, hp.ignore_label
         )
-        soft_t = None
+        soft_t = paste_t = None
         if combo:
             probs_s = one_hot_ignore(bs["label"], hp.class_num, hp.ignore_label)
             mixer = cutmix if mix == "cutmix" else classmix
             kw = dict(probs_s=probs_s, probs_t=label_t_soft)
             if mix != "cutmix":
                 kw.update(class_num=hp.class_num, ignore_label=hp.ignore_label)
-            img_s, lab_s, img_t, lab_t, soft_t = mixer(
+            img_s, lab_s, img_t, lab_t, soft_t, paste_t = mixer(
                 k_mix, bs["image"], bs["label"], bt["image"], label_t_hard, **kw
             )
         elif mix == "cutmix":
@@ -454,7 +459,7 @@ def make_mix_step(model, hp: StageHParams, mix: str = "cutmix",
             loss_s, balance = _source_loss_terms(hp, state, [p1, p2], lab_s)
             if combo:
                 loss_t, balance_t, ghm = _target_loss(
-                    hp, state, [t1, t2], lab_t, soft_t
+                    hp, state, [t1, t2], lab_t, soft_t, paste_mask=paste_t
                 )
                 aligner, _ = update_prototype(
                     state.aligner, feat_s, lab_s, hp.class_num, hp.scale_factor
