@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from uemda_tpu.config import PRESETS, PairConfig, SplitConfig
 from uemda_tpu.datasets.base import SegDataset, infinite_batches
-from uemda_tpu.datasets.meta import NORM_STATS, LoveDA
+from uemda_tpu.datasets.meta import NORM_STATS, IsprsDA, LoveDA
 from uemda_tpu.datasets.synthetic import make_synthetic_dataset
 from uemda_tpu.infer.evaluate import evaluate_dataset
 from uemda_tpu.infer.pseudo_gen import generate_pseudo_labels
@@ -88,13 +88,15 @@ def test_run_pipeline_warns_on_stage_regression(tmp_path, capsys):
 HW, CROP = 64, 32
 
 
-def _proxy_cfg(root):
-    m, s = NORM_STATS["LoveDA"]["mean"], NORM_STATS["LoveDA"]["std"]
+def _proxy_cfg(root, meta=LoveDA, datasets="LoveDA", stats="LoveDA",
+               clamp_target=False):
+    m, s = NORM_STATS[stats]["mean"], NORM_STATS[stats]["std"]
     # source == target (no shift): pseudo labels are accurate, so any
     # eval regression in stage 3 is the trainer's fault, not the data's
-    make_synthetic_dataset(root, LoveDA, n_train=4, n_val=4, hw=HW, seed=3)
+    make_synthetic_dataset(root, meta, n_train=4, n_val=4, hw=HW, seed=3)
     return PairConfig(
-        name="gate", datasets="LoveDA", target_set="T",
+        name="gate", datasets=datasets, target_set="T",
+        clamp_target=clamp_target,
         source=SplitConfig((f"{root}/img_dir/train",),
                            (f"{root}/ann_dir/train",), m, s, 4),
         target=SplitConfig((f"{root}/img_dir/train",),
@@ -117,13 +119,18 @@ def _eval(model, variables, cfg):
     return miou
 
 
-def _run_gate(root, clamp_override=None):
+def _run_gate(root, clamp_override=None, meta=LoveDA, datasets="LoveDA",
+              stats="LoveDA", clamp_target=False):
     """Train the proxy, run the stage-3 loop, return (miou_init, miou_final).
 
-    ``clamp_override`` forces the target clamp (True reproduces the r3
-    collapse mechanism — used by the one-off discrimination check in
-    runs/tpu_results and available for debugging)."""
-    cfg = _proxy_cfg(str(root))
+    ``clamp_override`` forces the target clamp (True at LoveDA stats
+    reproduces the r3 collapse mechanism — used by the one-off
+    discrimination check in runs/tpu_results and available for debugging).
+    ``meta``/``datasets``/``stats``/``clamp_target`` select the proxy's
+    dataset family: LoveDA stats + no clamp (the r3 collapse arm) or ISPRS
+    Vaihingen stats + clamp (the reference's healthy ISPRS configuration)."""
+    cfg = _proxy_cfg(str(root), meta=meta, datasets=datasets, stats=stats,
+                     clamp_target=clamp_target)
     model = build_model(cfg)
     variables = init_variables(model, cfg)
     fc = model.config.inchannels
@@ -134,7 +141,7 @@ def _run_gate(root, clamp_override=None):
 
         hp = dataclasses.replace(hp, clamp_target=clamp_override)
     else:
-        assert hp.clamp_target is False  # LoveDA: reference has no clamp
+        assert hp.clamp_target is clamp_target
 
     # --- stage-1 proxy: supervised on source until eval is meaningful ---
     step1 = make_src_step(model, hp)
@@ -206,4 +213,41 @@ def test_stage3_does_not_regress_from_its_init(tmp_path):
         f"stage-3 regressed the model: init {miou_init:.4f} -> "
         f"final {miou_final:.4f} (the r3 LoveDA collapse signature; "
         "see runs/tpu_results/loveda_stage3_fix.md)"
+    )
+
+
+def test_stage3_isprs_clamp_arm_holds_golden_floor(tmp_path):
+    """Complementary arm (VERDICT r4 item 7): the reference's ISPRS
+    configuration — Vaihingen stats, Normalize clamp(max=1.0) on the
+    stage-3 TARGET pipeline only, exactly configs/st/uemda/2vaihingen.py:38
+    (eval/pseudo/source normalize without clamp, configs/ToVaihingen.py:
+    84-110 — the train/eval clamp mismatch is the reference's own
+    semantics, just mild at Vaihingen stats).
+
+    Measured on the fixed code (8-virtual-device CPU mesh, deterministic
+    keys + seed-3 synthetic data): init 0.26161 -> final 0.19444. The
+    40-step tiny proxy loses ground under BOTH healthy arms (LoveDA arm
+    0.814x, this arm 0.743x; the real-geometry runs RISE — runs/
+    tpu_results/loveda_stage3_fix.md), so the r4-VERDICT-suggested
+    ``final >= init`` is empirically unattainable here and a ratio gate
+    below 0.743 could never catch a 25%-of-init regression. Instead this
+    arm exploits the proxy's determinism (independent processes reproduce
+    stage-1 evals to 1e-5): a one-sided GOLDEN floor at measured-final
+    minus 0.01 mIoU absolute — red if any silent change to the stage-3
+    math/clamp semantics costs more than ~4% of the deterministic final,
+    ~7x tighter than the LoveDA arm's discriminated 0.72x collapse bound.
+    A legitimate math change that moves the deterministic value requires
+    re-measuring this floor (update both numbers below)."""
+    miou_init, miou_final = _run_gate(
+        tmp_path, meta=IsprsDA, datasets="IsprsDA", stats="Vaihingen",
+        clamp_target=True,
+    )
+    assert abs(miou_init - 0.26161) < 0.01, (
+        f"ISPRS proxy init drifted from its golden 0.26161: {miou_init:.5f}"
+        " (stage-1/eval path changed — re-measure this arm)"
+    )
+    assert miou_final >= 0.19444 - 0.01, (
+        f"ISPRS clamp arm fell below its golden floor: init "
+        f"{miou_init:.5f} -> final {miou_final:.5f} (golden 0.19444; "
+        "stage-3 math or clamp semantics regressed)"
     )

@@ -74,11 +74,30 @@ def bench_eval(model, variables, batch, k_chain, dtype_name, int8, reps,
     return k_chain * batch / dt
 
 
-def bench_train_steps(cfg, model, variables, reps, batch=8):
+# peak dense bf16 FLOP/s by TPU generation (public spec sheets) — the MFU
+# denominator. Matched loosely against jax.devices()[0].device_kind.
+_PEAK_BF16 = (
+    ("v6", 918e12), ("trillium", 918e12),
+    ("v5p", 459e12), ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v4", 275e12),
+)
+
+
+def peak_bf16_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _PEAK_BF16:
+        if tag in kind:
+            return peak
+    return None
+
+
+def bench_train_steps(cfg, model, variables, reps, batch=8, k_dev=16):
     import jax
     import jax.numpy as jnp
 
-    from uemda_tpu.train.loop import build_state, default_hparams
+    from uemda_tpu.train.loop import _make_multi_step, build_state, default_hparams
     from uemda_tpu.train import steps as S
 
     h, w = cfg.crop
@@ -88,40 +107,72 @@ def bench_train_steps(cfg, model, variables, reps, batch=8):
     soft = jax.nn.softmax(jax.random.normal(key, (batch, h, w, cfg.class_num)))
     sup = jnp.zeros((batch, h, w), jnp.int32)
     bs = {"image": img, "label": lab}
+    peak = peak_bf16_flops()
 
-    def run(step_fn, batch_t, chain=1):
+    def run(step_fn, batch_t):
         # the step donates its input state (CLAUDE.md convention): deep-copy
         # the shared variables and thread the returned state through reps.
-        # chain>1: K async dispatches per readback, so the per-step figure is
-        # ~device time + RTT/K — the resident-data / device-side metric
-        # (VERDICT r3 item 7; the K=1 figure is tunnel-RTT-dominated: r3
-        # measured 113.6 ms wall vs 39.3 ms XProf device for stage 1).
         v = jax.tree.map(jnp.array, variables)
         state = build_state(v, cfg, 100, feat_channels=model.config.inchannels)
         state, metrics = step_fn(state, bs, batch_t, key)
         float(metrics["loss"])  # compile + warm
         t0 = time.time()
         for _ in range(reps):
-            for _ in range(chain):
-                state, metrics = step_fn(state, bs, batch_t, key)
+            state, metrics = step_fn(state, bs, batch_t, key)
             float(metrics["loss"])
-        return (time.time() - t0) / (reps * chain) * 1000
+        return state, (time.time() - t0) / reps * 1000
+
+    def run_dev(step_fn, state, batch_t):
+        # DEVICE-SIDE metric: k_dev steps inside ONE jitted lax.scan (the
+        # production --steps-per-call program, train/loop.py::_make_multi_step)
+        # — one dispatch + one readback amortized over k_dev, data resident.
+        # The r4 version looped k Python dispatches instead, and each dispatch
+        # through the axon tunnel costs ~45 ms that is NOT readback RTT, so it
+        # reported ~87 ms/step against a 39.3 ms XProf device time (VERDICT r4
+        # item 4 / docs/PERF_NOTES.md round-5 reconciliation). This form
+        # matches XProf: wall = device + (dispatch + RTT)/k_dev.
+        multi = _make_multi_step(step_fn, with_target=True)
+        stack = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jnp.broadcast_to(a, (k_dev,) + a.shape), t)
+        bs_k, bt_k = stack(bs), stack(batch_t)
+        flops = None
+        try:
+            cost = multi.lower(state, bs_k, bt_k, key,
+                               jnp.int32(0)).compile().cost_analysis()
+            flops = float(cost["flops"]) / k_dev
+        except Exception:  # backend without cost analysis
+            pass
+        state, metrics = multi(state, bs_k, bt_k, key, jnp.int32(0))
+        float(metrics["loss"])  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            state, metrics = multi(state, bs_k, bt_k, key, jnp.int32(0))
+            float(metrics["loss"])
+        return (time.time() - t0) / (reps * k_dev) * 1000, flops
 
     out = {}
-    step1 = S.make_src_step(model, default_hparams(cfg, align_domain=True))
-    out["stage1_step_ms"] = run(step1, {"image": img})
-    out["stage1_step_ms_dev"] = run(step1, {"image": img}, chain=8)
-    step2 = S.make_align_step(
-        model, default_hparams(cfg, align_domain=True, refine=True, refine_mode="all")
-    )
-    out["stage2_step_ms"] = run(step2, {"image": img, "sup": sup})
-    out["stage2_step_ms_dev"] = run(step2, {"image": img, "sup": sup}, chain=8)
-    step3 = S.make_ssl_step(
-        model, default_hparams(cfg, target_loss="uvem", refine=True, refine_mode="all")
-    )
-    out["stage3_step_ms"] = run(step3, {"image": img, "prob": soft, "sup": sup})
-    out["stage3_step_ms_dev"] = run(step3, {"image": img, "prob": soft, "sup": sup},
-                                    chain=8)
+
+    def measure(name, step_fn, batch_t):
+        state, wall = run(step_fn, batch_t)
+        dev, flops = run_dev(step_fn, state, batch_t)
+        out[f"{name}_step_ms"] = wall
+        out[f"{name}_step_ms_dev"] = dev
+        out[f"{name}_dispatch_ms"] = wall - dev  # per-dispatch tunnel/host cost
+        if flops:
+            out[f"{name}_gflops_per_step"] = flops / 1e9
+            if peak:
+                out[f"{name}_mfu_pct"] = flops / (dev / 1e3) / peak * 100
+
+    measure("stage1", S.make_src_step(
+        model, default_hparams(cfg, align_domain=True)), {"image": img})
+    measure("stage2", S.make_align_step(
+        model, default_hparams(cfg, align_domain=True, refine=True,
+                               refine_mode="all")),
+        {"image": img, "sup": sup})
+    measure("stage3", S.make_ssl_step(
+        model, default_hparams(cfg, target_loss="uvem", refine=True,
+                               refine_mode="all")),
+        {"image": img, "prob": soft, "sup": sup})
     return out
 
 
@@ -213,10 +264,11 @@ def bench_e2e_serve(model, variables, reps, tile=512, n_images=64,
 def main():
     parser = argparse.ArgumentParser(description="Extended benchmarks.")
     parser.add_argument("--modes", type=str,
-                        default="eval_bf16,eval_int8,eval_fastpath,"
+                        default="flops,eval_bf16,eval_int8,eval_fastpath,"
                         "eval_fastpath_int8,eval_fastpath_int8cal_all,"
                         "train,raster,e2e_serve",
-                        help="comma list: eval_bf16,eval_f32,eval_int8,"
+                        help="comma list: flops (compiled cost_analysis "
+                        "GF/tile),eval_bf16,eval_f32,eval_int8,"
                         "eval_fastpath,eval_fastpath_int8,"
                         "eval_fastpath_int8cal_all,train,raster,"
                         "e2e_serve (host-inclusive decode->infer->write)")
@@ -268,6 +320,26 @@ def main():
                           "unit": unit, "platform": jax.devices()[0].platform}))
 
     modes = args.modes.split(",")
+    if "flops" in modes:
+        # compiled-executable FLOP counts (the BASELINE.md A100-denominator
+        # derivation and the MFU numerators cite these): eval forward per
+        # 512² tile, from XLA cost_analysis of the exact serving program.
+        fb = 4 if args.tiny else 8
+        v16 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        x = jnp.zeros((fb, tile, tile, 3), jnp.bfloat16)
+        try:
+            cost = fwd.lower(v16, x).compile().cost_analysis()
+            emit("eval_fwd_gflops_per_tile", float(cost["flops"]) / fb / 1e9,
+                 "GF/tile")
+        except Exception as e:  # backend without cost analysis
+            print(json.dumps({"metric": "eval_fwd_gflops_per_tile",
+                              "error": repr(e)}))
+        peak = peak_bf16_flops()
+        if peak:
+            emit("device_peak_bf16_tflops", peak / 1e12, "TFLOP/s")
     if "eval_bf16" in modes:
         emit("eval_bf16_tiles_per_sec",
              bench_eval(model, variables, batch, k_chain, "bfloat16", False,
@@ -324,7 +396,9 @@ def main():
         for k, v in bench_train_steps(
             cfg, model, variables, reps, batch=tb
         ).items():
-            emit(k + (f"_b{tb}" if tb != 8 else ""), v, "ms")
+            unit = ("%" if k.endswith("_mfu_pct")
+                    else "GF" if k.endswith("_gflops_per_step") else "ms")
+            emit(k + (f"_b{tb}" if tb != 8 else ""), v, unit)
     if "e2e_serve" in modes:
         # decode-thread scaling curve (VERDICT r2 item 7): w1 = the old
         # single-decoder number; w4 = the --decode-workers 4 pool (flat on
