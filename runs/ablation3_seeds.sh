@@ -32,7 +32,11 @@ retry() {
         sleep 60
     done
 }
-retry_train() { retry "$@" --resume auto --steps-per-call 4; }
+# K=25 divides log_every=50 and all eval/gen boundaries (300/600), so after
+# the first 50-step window every call is a full 25-step scan — the tunnel
+# RTT (which dominated r4's ~25 min/variant at K=4) is amortized 25x.
+# Step math is K-independent (steps-per-call parity test).
+retry_train() { retry "$@" --resume auto --steps-per-call "${SPC:-25}"; }
 
 # ---- shared trunk (identical to runs/ablation2_uvem.sh; skipped when the
 # DONE marker from a previous chain on this /tmp exists) ----

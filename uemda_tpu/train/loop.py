@@ -134,8 +134,15 @@ class LoopHooks:
     # mid-run, leaving every device readback hung forever. Metric/eval
     # readbacks run under this deadline; on expiry the loop raises
     # TimeoutError so an orchestrator can restart with --resume auto from
-    # the last state snapshot instead of hanging. 0 disables.
-    hang_timeout_s: float = 900.0
+    # the last state snapshot instead of hanging. 0 disables. Unattended
+    # drivers can tighten it via UEMDA_HANG_TIMEOUT_S (a hung tunnel then
+    # costs minutes, not the conservative default) — env read at hook
+    # construction so one process keeps one deadline.
+    hang_timeout_s: float = dataclasses.field(
+        default_factory=lambda: float(
+            os.environ.get("UEMDA_HANG_TIMEOUT_S", 900.0)
+        )
+    )
     # K iterations per jitted call (lax.scan over K stacked batches): on
     # dispatch-latency-bound hosts this recovers the pure device rate
     # (68 -> 40 ms/step measured through the axon tunnel, PERF_NOTES.md).
